@@ -1,0 +1,157 @@
+"""Benchmark: flagship end-to-end throughput on the real TPU chip vs the
+CPU reference implementation (BASELINE.json:2,5 — clips/sec/chip; target
+>= 10x the CPU reference).
+
+The measured program is the full BASELINE.json:5 pipeline as ONE XLA
+program: raw waveform batch -> fused-formulation log-mel front-end -> CNN
+trunk -> multi-level attention -> 527 clip probs. The CPU baseline is the
+same pipeline the reference's way: NumPy front-end (tests/oracle semantics)
++ torch-cpu CNN/attention forward.
+
+Prints ONE JSON line:
+  {"metric": "infer_clips_per_sec_chip", "value": ..., "unit": "clips/s",
+   "vs_baseline": <tpu/cpu speedup>, ...extras}
+"""
+
+import json
+import time
+
+import numpy as np
+
+BATCH = 64
+SECONDS = 10
+N_ITERS = 20
+CPU_CLIPS = 8
+
+
+def _tpu_throughput(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops.frontend import waveform_to_patches
+
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(0)
+    wav_h = (rng.standard_normal((BATCH, SECONDS * cfg.frontend.sample_rate)) * 0.1).astype(
+        np.float32
+    )
+    wav = jax.device_put(jnp.asarray(wav_h))
+    patches = waveform_to_patches(wav[:2], cfg.frontend)
+    variables = model.init(jax.random.key(0), patches)
+
+    @jax.jit
+    def forward(variables, wav):
+        return model.apply(variables, waveform_to_patches(wav, cfg.frontend))
+
+    # NOTE: on this environment's 'axon' TPU platform block_until_ready is
+    # effectively a no-op (dispatch returns immediately); a host transfer is
+    # the only reliable synchronization, so timing fetches every output
+    # (outputs are [B, 527] f32 ~135 KB — negligible vs the compute).
+    np.asarray(forward(variables, wav))  # compile + warmup
+    np.asarray(forward(variables, wav))
+    t0 = time.perf_counter()
+    outs = [forward(variables, wav) for _ in range(N_ITERS)]
+    for o in outs:
+        np.asarray(o)
+    dt = time.perf_counter() - t0
+    infer_cps = BATCH * N_ITERS / dt
+
+    # train step throughput on the same program + BCE/Adam backward
+    from mla_tpu.train.state import create_train_state, make_train_step
+
+    y = jnp.asarray((rng.random((BATCH, cfg.model.n_classes)) < 0.05).astype(np.float32))
+    state = create_train_state(cfg, model, waveform_to_patches(wav, cfg.frontend))
+    step = jax.jit(make_train_step(cfg, model, "waveform"), donate_argnums=(0,))
+    state, loss = step(state, wav, y)
+    np.asarray(loss)  # compile + warmup (host fetch = the real sync, see above)
+    t0 = time.perf_counter()
+    losses = []
+    for _ in range(N_ITERS):
+        state, loss = step(state, wav, y)
+        losses.append(loss)
+    for l in losses:  # the state chain serializes steps; fetches force it all
+        np.asarray(l)
+    train_cps = BATCH * N_ITERS / (time.perf_counter() - t0)
+    return infer_cps, train_cps
+
+
+def _cpu_reference_throughput(cfg):
+    """The reference's way: NumPy log-mel front-end + torch-cpu model."""
+    import torch
+
+    from tests.oracle import frontend_oracle as fo
+
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+
+    ch = cfg.model.conv_channels
+    reps = cfg.model.convs_per_stage
+    layers = []
+    in_c = 1
+    for c in ch:
+        for _ in range(reps):
+            layers += [torch.nn.Conv2d(in_c, c, 3, padding=1), torch.nn.BatchNorm2d(c),
+                       torch.nn.ReLU()]
+            in_c = c
+        layers += [torch.nn.MaxPool2d(2)]
+    trunk = torch.nn.Sequential(*layers).eval()
+    embed = torch.nn.Linear(ch[-1], cfg.model.embed_dim)
+    blocks = [torch.nn.Linear(cfg.model.embed_dim if i == 0 else cfg.model.hidden_units,
+                              cfg.model.hidden_units) for i in range(cfg.model.n_blocks)]
+    gates = [torch.nn.Linear(cfg.model.hidden_units, cfg.model.n_classes)
+             for _ in range(cfg.model.n_blocks)]
+    clas = [torch.nn.Linear(cfg.model.hidden_units, cfg.model.n_classes)
+            for _ in range(cfg.model.n_blocks)]
+    out_fc = torch.nn.Linear(cfg.model.n_blocks * cfg.model.n_classes, cfg.model.n_classes)
+
+    rng = np.random.default_rng(0)
+    wavs = (rng.standard_normal((CPU_CLIPS, SECONDS * cfg.frontend.sample_rate)) * 0.1).astype(
+        np.float32
+    )
+
+    def one_clip(w):
+        patches = fo.waveform_to_examples(w)  # [T, 96, 64] NumPy front-end
+        x = torch.from_numpy(np.ascontiguousarray(patches, dtype=np.float32))[:, None]
+        with torch.no_grad():
+            h = trunk(x).mean(dim=(2, 3))
+            h = torch.relu(embed(h))[None]  # [1, T, D]
+            zs = []
+            for blk, g, cl in zip(blocks, gates, clas):
+                h = torch.relu(blk(h))
+                att = torch.exp(g(h) - g(h).max(dim=1, keepdim=True).values)
+                f = torch.sigmoid(cl(h))
+                zs.append((att * f).sum(1) / att.sum(1).clamp_min(1e-7))
+            probs = torch.sigmoid(out_fc(torch.cat(zs, dim=-1)))
+        return probs.numpy()
+
+    one_clip(wavs[0])  # warmup
+    t0 = time.perf_counter()
+    for w in wavs:
+        one_clip(w)
+    dt = time.perf_counter() - t0
+    return CPU_CLIPS / dt
+
+
+def main():
+    from mla_tpu.config import get_config
+
+    cfg = get_config("audioset_full_dp")
+    infer_cps, train_cps = _tpu_throughput(cfg)
+    cpu_cps = _cpu_reference_throughput(cfg)
+    result = {
+        "metric": "infer_clips_per_sec_chip",
+        "value": round(infer_cps, 2),
+        "unit": "clips/s",
+        "vs_baseline": round(infer_cps / cpu_cps, 2),
+        "train_clips_per_sec_chip": round(train_cps, 2),
+        "cpu_reference_clips_per_sec": round(cpu_cps, 2),
+        "batch": BATCH,
+        "clip_seconds": SECONDS,
+        "model": "multi_level_attention+cnn_trunk",
+        "n_classes": cfg.model.n_classes,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,194 @@
+"""CLI (reference C17: argparse subcommand tree in ``main.py`` — SURVEY.md
+§2.1; public API mirrors the reference verbs per BASELINE.json:5: dataset
+prep, feature extraction, train, eval, inference).
+
+    python -m mla_tpu prep     --config=... --out=pack.h5
+    python -m mla_tpu extract  --wav=a.wav --out=patches.npy
+    python -m mla_tpu train    --config=esc50_single_attention [--set k=v ...]
+    python -m mla_tpu eval     --config=... (calculate_stats on the eval set)
+    python -m mla_tpu infer    --config=... --wav=a.wav [--stream]
+    python -m mla_tpu bench    --config=... (single-chip throughput)
+    python -m mla_tpu configs
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _parse_sets(pairs):
+    out = {}
+    for p in pairs or []:
+        if "=" not in p:
+            raise SystemExit(f"--set expects key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        out[k] = v
+    return out
+
+
+def _load_cfg(args):
+    from mla_tpu.config import get_config
+
+    return get_config(args.config, _parse_sets(getattr(args, "set", None)))
+
+
+def cmd_configs(_args):
+    from mla_tpu.config import list_configs
+
+    print("\n".join(list_configs()))
+
+
+def cmd_prep(args):
+    """Build the configured (synthetic) dataset and pack it to HDF5 (C1+C2)."""
+    cfg = _load_cfg(args)
+    from mla_tpu.data import hdf5, synthetic
+
+    kind = "features" if cfg.model.trunk == "none" else "waveform"
+    ds = synthetic.make_dataset(cfg.data, cfg.model.n_classes, args.split, cfg.frontend, kind)
+    hdf5.pack_hdf5(args.out, ds.x, ds.y.astype(bool), ds.ids, quantize=args.quantize)
+    print(f"packed {len(ds.x)} clips ({ds.kind}) -> {args.out}")
+
+
+def cmd_extract(args):
+    """Waveform file -> log-mel patches (C3; reference feature extraction)."""
+    cfg = _load_cfg(args)
+    import jax.numpy as jnp
+
+    from mla_tpu.data import audio_io
+    from mla_tpu.ops import frontend
+
+    wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
+    patches = np.asarray(frontend.waveform_to_patches(jnp.asarray(wav), cfg.frontend))
+    np.save(args.out, patches)
+    print(f"{args.wav}: {len(wav)} samples -> patches {patches.shape} -> {args.out}")
+
+
+def cmd_train(args):
+    cfg = _load_cfg(args)
+    from mla_tpu.train.loop import fit
+
+    result = fit(cfg, workspace=args.workspace)
+    last_eval = result.eval_stats[-1] if result.eval_stats else {}
+    print(json.dumps({"final_loss": result.history[-1]["loss"] if result.history else None,
+                      **{k: v for k, v in last_eval.items()}}))
+
+
+def cmd_eval(args):
+    """calculate_stats on the eval set from the latest checkpoint (C13+C15)."""
+    cfg = _load_cfg(args)
+    from mla_tpu.data.synthetic import make_dataset
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.parallel import mesh as pmesh
+    from mla_tpu.train.loop import evaluate, resume
+    from mla_tpu.train.state import make_eval_step
+
+    state, _ = resume(cfg, args.workspace)
+    kind = "features" if cfg.model.trunk == "none" else "waveform"
+    eval_ds = make_dataset(cfg.data, cfg.model.n_classes, "eval", cfg.frontend, kind)
+    mesh = pmesh.make_mesh(cfg.train.data_parallel, cfg.train.model_parallel)
+    model = build_model(cfg.model)
+    import jax
+
+    eval_step = jax.jit(make_eval_step(cfg, model, kind))
+    stats = evaluate(cfg, model, state, eval_ds, eval_step, mesh)
+    print(json.dumps(stats))
+
+
+def cmd_infer(args):
+    cfg = _load_cfg(args)
+    import jax
+
+    from mla_tpu.data import audio_io
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.serve.streaming import StreamingTagger, tag_clip
+
+    wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
+    if args.checkpoint == "random":
+        # demo mode: random weights (no trained checkpoint required)
+        from mla_tpu.ops import frontend as fe
+        import jax.numpy as jnp
+
+        model = build_model(cfg.model)
+        patches = fe.waveform_to_patches(jnp.asarray(wav[: 16000 * 10])[None], cfg.frontend)
+        variables = model.init(jax.random.key(0), patches)
+    else:
+        from mla_tpu.train.loop import resume
+
+        state, _ = resume(cfg, args.workspace)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+    if args.stream:
+        tagger = StreamingTagger(cfg, variables)
+        block = cfg.frontend.sample_rate  # feed 1 s at a time
+        for s in range(0, len(wav), block):
+            tagger.feed(wav[s : s + block])
+        tagger.flush()
+        scores = tagger.scores()
+    else:
+        scores = tag_clip(cfg, variables, wav)
+    top = np.argsort(-scores)[: args.top_k]
+    print(json.dumps({"top_k": [[int(i), float(scores[i])] for i in top]}))
+
+
+def cmd_bench(args):
+    from mla_tpu import bench as bench_mod  # noqa: F401  (lazy; heavy)
+
+    raise SystemExit("use bench.py at the repo root")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="mla_tpu", description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("configs", help="list named configs").set_defaults(fn=cmd_configs)
+
+    sp = sub.add_parser("prep", help="build + pack dataset to HDF5")
+    sp.add_argument("--config", default="default")
+    sp.add_argument("--split", default="train", choices=["train", "eval"])
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--quantize", action="store_true")
+    sp.add_argument("--set", nargs="*")
+    sp.set_defaults(fn=cmd_prep)
+
+    se = sub.add_parser("extract", help="wav -> log-mel patches .npy")
+    se.add_argument("--config", default="default")
+    se.add_argument("--wav", required=True)
+    se.add_argument("--out", required=True)
+    se.add_argument("--set", nargs="*")
+    se.set_defaults(fn=cmd_extract)
+
+    st = sub.add_parser("train", help="train per config")
+    st.add_argument("--config", default="esc50_single_attention")
+    st.add_argument("--workspace", default=None)
+    st.add_argument("--set", nargs="*")
+    st.set_defaults(fn=cmd_train)
+
+    sv = sub.add_parser("eval", help="evaluate latest checkpoint")
+    sv.add_argument("--config", default="esc50_single_attention")
+    sv.add_argument("--workspace", default=None)
+    sv.add_argument("--set", nargs="*")
+    sv.set_defaults(fn=cmd_eval)
+
+    si = sub.add_parser("infer", help="tag a wav file")
+    si.add_argument("--config", default="streaming_inference")
+    si.add_argument("--wav", required=True)
+    si.add_argument("--workspace", default=None)
+    si.add_argument("--checkpoint", default="random",
+                    help="'random' for demo weights, else use latest checkpoint")
+    si.add_argument("--stream", action="store_true", help="chunked streaming path")
+    si.add_argument("--top_k", type=int, default=5)
+    si.add_argument("--set", nargs="*")
+    si.set_defaults(fn=cmd_infer)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,50 @@
+"""Host audio IO: wav read + resample to the front-end's sample rate
+(reference C3's ``wavfile_to_examples`` entry does this on host too —
+SURVEY.md §3.1; resampling stays host-side, everything after is device).
+
+scipy-only (soundfile is not in this image); polyphase resampling via
+scipy.signal.resample_poly matches librosa's quality for speech/audio
+tagging purposes.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+from scipy.io import wavfile as _wavfile
+from scipy.signal import resample_poly as _resample_poly
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a wav file -> (float32 waveform in [-1, 1], sample_rate).
+    Integer PCM is scaled by its dtype range; multi-channel is mean-downmixed
+    to mono (the reference pipeline is mono 16 kHz)."""
+    sr, data = _wavfile.read(path)
+    if data.dtype == np.int16:
+        x = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        x = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        x = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        x = data.astype(np.float32)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    return x, int(sr)
+
+
+def resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    if sr == target_sr:
+        return np.asarray(x, np.float32)
+    frac = Fraction(target_sr, sr).limit_denominator(1000)
+    return _resample_poly(x, frac.numerator, frac.denominator).astype(np.float32)
+
+
+def load_wav_16k(path: str, target_sr: int = 16000) -> np.ndarray:
+    x, sr = read_wav(path)
+    return resample(x, sr, target_sr)
+
+
+def write_wav(path: str, x: np.ndarray, sr: int = 16000):
+    _wavfile.write(path, sr, np.asarray(np.clip(x, -1, 1) * 32767, np.int16))

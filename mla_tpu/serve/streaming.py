@@ -1,0 +1,149 @@
+"""Streaming inference service (T11, BASELINE.json:11: "raw-waveform in ->
+clip scores out, long-form audio chunked on-device"; reference analogue is
+C15's one-shot ``inference`` — SURVEY.md §3.4).
+
+Design: the host feeds raw waveform chunks; ONE jitted device program per
+chunk runs front-end -> trunk -> per-level (gate, cla) logits -> fold into
+the O(1) streaming attention state (ops.attention_pool); scores can be read
+at any time by finalizing the state — mathematically identical to running
+the whole clip at once (tested to ~1e-6). Memory is constant in audio
+length: unbounded audio on a single chip.
+
+Chunk boundary handling: STFT frames and 96-frame patches must not be cut —
+the tagger carries (a) up to window-hop samples of waveform tail and (b) up
+to 95 leftover log-mel frames... simplified here by choosing the chunk unit
+= whole patches: each device call consumes exactly `chunk_patches` patches
+worth of samples; the host-side ring buffer splits arbitrary incoming audio
+into those exact units (plus a final zero-padded flush).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mla_tpu.config import Config
+from mla_tpu.models.zoo import AudioTagger, build_model
+from mla_tpu.ops import attention_pool as ap
+from mla_tpu.ops import frontend as fe
+
+
+def _samples_per_patches(cfg, n_patches: int) -> int:
+    """Samples consumed by exactly n_patches non-overlapping patches."""
+    frames = n_patches * cfg.example_hop_frames + (
+        cfg.example_window_frames - cfg.example_hop_frames
+    )
+    return (frames - 1) * cfg.hop_length + cfg.window_length
+
+
+class StreamingTagger:
+    """Long-form audio tagger with O(1) device state.
+
+    >>> tagger = StreamingTagger(cfg, variables)
+    >>> for block in waveform_blocks:     # arbitrary sizes
+    ...     tagger.feed(block)
+    >>> scores = tagger.scores()          # may be called mid-stream too
+    """
+
+    def __init__(self, cfg: Config, variables: Dict, chunk_patches: int = 10):
+        if cfg.model.variant not in ("multi_level_attention", "single_attention"):
+            raise ValueError(f"streaming needs an attention variant, got {cfg.model.variant!r}")
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+        self.variables = variables
+        self.chunk_patches = chunk_patches
+        self.chunk_samples = _samples_per_patches(cfg.frontend, chunk_patches)
+        self._buf = np.zeros(0, np.float32)
+        self._n_levels = (
+            cfg.model.n_blocks if cfg.model.variant == "multi_level_attention" else 1
+        )
+        self.reset()
+
+        def chunk_step(states, wav):
+            patches = fe.waveform_to_patches(wav, cfg.frontend)  # [1, P, 96, 64]
+            levels = self.model.apply(self.variables, patches, method="segment_logits")
+            return [
+                ap.update_stream_state(st, g, c, cfg.model.att_activation,
+                                       cfg.model.cla_activation)
+                for st, (g, c) in zip(states, levels)
+            ]
+
+        def finalize(states):
+            pooled = [ap.stream_finalize(st) for st in states]
+            if cfg.model.variant == "multi_level_attention":
+                return self.model.apply(self.variables, pooled,
+                                        method="finalize_multi_level")
+            return pooled[0]
+
+        self._chunk_step = jax.jit(chunk_step)
+        self._finalize = jax.jit(finalize)
+
+    def reset(self):
+        self._buf = np.zeros(0, np.float32)
+        self.states: List[ap.StreamState] = [
+            ap.init_stream_state((1, self.cfg.model.n_classes))
+            for _ in range(self._n_levels)
+        ]
+        self._fed_any = False
+
+    def feed(self, waveform: np.ndarray):
+        """Append raw 16 kHz mono samples; device work happens per full chunk."""
+        self._buf = np.concatenate([self._buf, np.asarray(waveform, np.float32)])
+        # consume non-overlapping patch units; keep the inter-patch overlap
+        # tail (window - hop samples at frame level) by re-slicing from the
+        # exact sample offset of the next unconsumed patch.
+        unit = self.chunk_samples
+        hop_samples = self.cfg.frontend.example_hop_frames * self.cfg.frontend.hop_length
+        while len(self._buf) >= unit:
+            chunk = self._buf[:unit][None]
+            self.states = self._chunk_step(self.states, jnp.asarray(chunk))
+            self._fed_any = True
+            consumed = self.chunk_patches * hop_samples
+            self._buf = self._buf[consumed:]
+
+    def flush(self):
+        """Process whatever remains (zero-padded up to one patch)."""
+        min_samples = _samples_per_patches(self.cfg.frontend, 1)
+        if len(self._buf) == 0 or (self._fed_any and len(self._buf) < min_samples // 8):
+            self._buf = np.zeros(0, np.float32)
+            return
+        n = max(len(self._buf), min_samples)
+        # round up to a whole number of patches
+        hop_samples = self.cfg.frontend.example_hop_frames * self.cfg.frontend.hop_length
+        extra = n - min_samples
+        n_patches = 1 + int(np.ceil(extra / hop_samples))
+        padded = np.zeros(_samples_per_patches(self.cfg.frontend, n_patches), np.float32)
+        padded[: len(self._buf)] = self._buf
+        levels = self.model.apply(
+            self.variables,
+            fe.waveform_to_patches(jnp.asarray(padded[None]), self.cfg.frontend),
+            method="segment_logits",
+        )
+        self.states = [
+            ap.update_stream_state(st, g, c, self.cfg.model.att_activation,
+                                   self.cfg.model.cla_activation)
+            for st, (g, c) in zip(self.states, levels)
+        ]
+        self._fed_any = True
+        self._buf = np.zeros(0, np.float32)
+
+    def scores(self) -> np.ndarray:
+        """Current clip-level scores [n_classes]."""
+        if not self._fed_any:
+            raise RuntimeError("no audio fed yet")
+        return np.asarray(self._finalize(self.states))[0]
+
+    def top_k(self, k: int = 5, labels: Optional[List[str]] = None):
+        s = self.scores()
+        order = np.argsort(-s)[:k]
+        return [(labels[i] if labels else int(i), float(s[i])) for i in order]
+
+
+def tag_clip(cfg: Config, variables: Dict, waveform: np.ndarray) -> np.ndarray:
+    """One-shot inference (reference C15): whole waveform -> clip scores."""
+    model = build_model(cfg.model)
+    patches = fe.waveform_to_patches(jnp.asarray(waveform, jnp.float32)[None], cfg.frontend)
+    return np.asarray(model.apply(variables, patches))[0]

@@ -1,0 +1,63 @@
+"""Checkpoint / resume (reference C14: periodic whole-model weight file;
+build T10: full TrainState — params, Adam state, step, PRNG, sampler
+position — via Orbax, async-capable, keep-last-N, deterministic resume.
+SURVEY.md §5 "checkpoint/resume" row).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mla_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    """Thin Orbax CheckpointManager wrapper for (TrainState, sampler state)."""
+
+    def __init__(self, directory: str, keep: int = 3, async_save: bool = True):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=keep, enable_async_checkpointing=async_save
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: TrainState, sampler_state: Optional[Dict] = None):
+        composite = dict(
+            state=ocp.args.StandardSave(state),
+        )
+        if sampler_state is not None:
+            composite["sampler"] = ocp.args.JsonSave(sampler_state)
+        self._mgr.save(step, args=ocp.args.Composite(**composite))
+
+    def restore(
+        self, abstract_state: TrainState, step: Optional[int] = None
+    ) -> Tuple[TrainState, Optional[Dict]]:
+        """Restore the latest (or given) step. ``abstract_state`` provides
+        the tree structure/shardings (e.g. from jax.eval_shape over init)."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state),
+                sampler=ocp.args.JsonRestore(),
+            ),
+        )
+        return restored["state"], restored.get("sampler")
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def wait(self):
+        """Block until async saves land (call before exit)."""
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

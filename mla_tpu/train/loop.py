@@ -1,0 +1,190 @@
+"""End-to-end train/eval loop (reference C12 ``train()`` + C13 eval wiring +
+C14 checkpoints; SURVEY.md §3.2/§3.3 call stacks).
+
+Structure per step mirrors the reference's hot loop #2, but the body is one
+jitted XLA program over the ("data","model") mesh with donated state; the
+only host work per step is the balanced-sampler index draw and the
+device_put of the batch (T3/T9)."""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from mla_tpu.config import Config
+from mla_tpu.data.sampler import BalancedSampler, SequentialSampler
+from mla_tpu.data.synthetic import ArrayDataset, make_dataset
+from mla_tpu.models.zoo import build_model
+from mla_tpu.parallel import mesh as pmesh
+from mla_tpu.train.checkpoint import CheckpointManager
+from mla_tpu.train.state import (
+    TrainState,
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from mla_tpu.utils.logging import ScalarWriter, create_logging
+from mla_tpu.utils.metrics import calculate_stats
+
+
+@dataclass
+class FitResult:
+    state: TrainState
+    history: List[Dict[str, float]] = field(default_factory=list)
+    eval_stats: List[Dict[str, float]] = field(default_factory=list)
+
+
+def _input_kind(ds: ArrayDataset, trunk: str) -> str:
+    if ds.kind == "waveform" and trunk == "none":
+        raise ValueError("trunk='none' needs feature input, not raw waveforms")
+    return ds.kind
+
+
+def _state_shardings(mesh, state: TrainState, hidden: int):
+    """Sharding tree for the whole TrainState: the TP path rule (T4) applies
+    uniformly — Adam's mu/nu mirror the param tree's paths, so one walk
+    covers params and optimizer state; everything else replicates."""
+    return pmesh.param_shardings(mesh, state, hidden)
+
+
+def evaluate(cfg: Config, model, state: TrainState, ds: ArrayDataset,
+             eval_step, mesh) -> Dict[str, float]:
+    """Reference ``evaluate()``/``calculate_stats`` (SURVEY.md §3.3): forward
+    the eval set in batches, metrics on host."""
+    bs = max(cfg.train.batch_size, 1)
+    outs = []
+    for idx in SequentialSampler(len(ds.x), bs):
+        x = ds.x[idx]
+        pad = bs - len(idx)
+        if pad:  # static batch shape for one compiled program
+            x = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
+        probs = np.asarray(eval_step(state, pmesh.shard_batch(x, mesh)))
+        outs.append(probs[: len(idx)])
+    scores = np.concatenate(outs)
+    return calculate_stats(scores, ds.y)
+
+
+def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True) -> FitResult:
+    """Train per config; returns final state + loss/eval history."""
+    workspace = workspace or cfg.workspace
+    os.makedirs(workspace, exist_ok=True)
+    logger = create_logging(os.path.join(workspace, "logs"), cfg.name) if log else None
+    writer = ScalarWriter(os.path.join(workspace, "scalars.csv"))
+
+    def say(msg):
+        if logger:
+            logger.info(msg)
+
+    kind = "features" if cfg.model.trunk == "none" else "waveform"
+    train_ds = make_dataset(cfg.data, cfg.model.n_classes, "train", cfg.frontend, kind)
+    eval_ds = make_dataset(cfg.data, cfg.model.n_classes, "eval", cfg.frontend, kind)
+    input_kind = _input_kind(train_ds, cfg.model.trunk)
+
+    mesh = pmesh.make_mesh(cfg.train.data_parallel, cfg.train.model_parallel)
+    model = build_model(cfg.model)
+    bs = cfg.train.batch_size
+    if bs % mesh.shape[pmesh.DATA_AXIS]:
+        raise ValueError(
+            f"batch_size {bs} not divisible by data-parallel {mesh.shape[pmesh.DATA_AXIS]}"
+        )
+
+    sample = jax.device_put(
+        jax.numpy.asarray(train_ds.x[:bs]), pmesh.batch_sharding(mesh, train_ds.x.ndim)
+    )
+    if input_kind == "waveform":
+        from mla_tpu.ops.frontend import waveform_to_patches
+
+        sample_model_in = jax.eval_shape(
+            lambda w: waveform_to_patches(w, cfg.frontend), sample
+        )
+        sample_model_in = jax.numpy.zeros(sample_model_in.shape, sample_model_in.dtype)
+    else:
+        sample_model_in = sample
+    state = create_train_state(cfg, model, sample_model_in)
+    st_shardings = _state_shardings(mesh, state, cfg.model.hidden_units)
+    state = jax.device_put(state, st_shardings)
+
+    bsh = pmesh.batch_sharding(mesh, train_ds.x.ndim)
+    ysh = pmesh.batch_sharding(mesh, 2)
+    train_step = jax.jit(
+        make_train_step(cfg, model, input_kind),
+        in_shardings=(st_shardings, bsh, ysh),
+        out_shardings=(st_shardings, pmesh.replicated(mesh)),
+        donate_argnums=(0,) if cfg.train.donate_state else (),
+    )
+    eval_step = jax.jit(
+        make_eval_step(cfg, model, input_kind),
+        in_shardings=(st_shardings, bsh),
+        out_shardings=pmesh.replicated(mesh),
+    )
+
+    sampler = (
+        BalancedSampler(train_ds.y, bs, cfg.train.seed)
+        if cfg.data.balanced_sampling
+        else None
+    )
+    ckpt = CheckpointManager(
+        os.path.join(workspace, "checkpoints", cfg.name), keep=cfg.train.keep_checkpoints
+    )
+    rng = np.random.default_rng(cfg.train.seed)
+    result = FitResult(state=state)
+    say(f"config={cfg.name} devices={mesh.devices.shape} input={input_kind} batch={bs}")
+
+    t_last = time.perf_counter()
+    clips_done = 0
+    for step_i in range(cfg.train.num_steps):
+        idx = sampler.next_batch() if sampler else rng.integers(0, len(train_ds.x), bs)
+        x = pmesh.shard_batch(train_ds.x[idx], mesh)
+        y = pmesh.shard_batch(train_ds.y[idx], mesh)
+        state, loss = train_step(state, x, y)
+        clips_done += bs
+        if (step_i + 1) % cfg.train.log_every == 0 or step_i == 0:
+            loss_v = float(loss)
+            dt = time.perf_counter() - t_last
+            cps = clips_done / dt if dt > 0 else 0.0
+            result.history.append({"step": step_i + 1, "loss": loss_v, "clips_per_sec": cps})
+            writer.write(step_i + 1, {"loss": loss_v, "clips_per_sec": cps})
+            say(f"step {step_i + 1} loss {loss_v:.4f} {cps:.1f} clips/s")
+            t_last = time.perf_counter()
+            clips_done = 0
+        if (step_i + 1) % cfg.train.eval_every == 0 or step_i + 1 == cfg.train.num_steps:
+            stats = evaluate(cfg, model, state, eval_ds, eval_step, mesh)
+            stats["step"] = step_i + 1
+            result.eval_stats.append(stats)
+            writer.write(step_i + 1, {k: v for k, v in stats.items() if k != "step"})
+            say(f"eval @ {step_i + 1}: " + " ".join(f"{k}={v:.4f}" for k, v in stats.items()))
+        if (step_i + 1) % cfg.train.checkpoint_every == 0 or step_i + 1 == cfg.train.num_steps:
+            ckpt.save(step_i + 1, state, sampler.state_dict() if sampler else None)
+
+    ckpt.wait()
+    writer.close()
+    result.state = state
+    return result
+
+
+def resume(cfg: Config, workspace: Optional[str] = None) -> Tuple[TrainState, Optional[Dict]]:
+    """Restore the latest checkpoint for cfg (deterministic resume, T10)."""
+    workspace = workspace or cfg.workspace
+    kind = "features" if cfg.model.trunk == "none" else "waveform"
+    train_ds = make_dataset(cfg.data, cfg.model.n_classes, "train", cfg.frontend, kind)
+    model = build_model(cfg.model)
+    bs = cfg.train.batch_size
+    if kind == "waveform":
+        from mla_tpu.ops.frontend import waveform_to_patches
+
+        shp = jax.eval_shape(
+            lambda w: waveform_to_patches(w, cfg.frontend),
+            jax.ShapeDtypeStruct(train_ds.x[:bs].shape, jax.numpy.float32),
+        )
+        sample = jax.numpy.zeros(shp.shape, shp.dtype)
+    else:
+        sample = jax.numpy.asarray(train_ds.x[:bs])
+    abstract = jax.eval_shape(lambda: create_train_state(cfg, model, sample))
+    mgr = CheckpointManager(os.path.join(workspace, "checkpoints", cfg.name))
+    return mgr.restore(abstract)

@@ -1,0 +1,126 @@
+"""Train state + step builders (reference C10 loss, C11 optimizer, C12 loop
+body — ``main.py`` in the reference family, SURVEY.md §2.1).
+
+TPU-first: the whole step (optional device front-end -> trunk -> heads ->
+BCE -> backward -> Adam) is ONE jittable function of (state, batch); the
+caller jits it with shardings + donated state (BASELINE.json:5 "no host
+round-trips", SURVEY.md §7 stage 6).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from mla_tpu.config import Config
+from mla_tpu.models.zoo import AudioTagger
+from mla_tpu.ops import frontend as fe
+
+_EPS = 1e-7
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any  # {} when the model has no BatchNorm
+    opt_state: Any
+    dropout_key: jax.Array
+
+
+def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Multi-label binary cross-entropy over sigmoid probabilities (C10).
+    The reference computes BCE on probabilities (attention pooling emits
+    probs, not logits), so clamp for the log."""
+    p = jnp.clip(probs.astype(jnp.float32), _EPS, 1.0 - _EPS)
+    t = targets.astype(jnp.float32)
+    return -jnp.mean(t * jnp.log(p) + (1.0 - t) * jnp.log1p(-p))
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Adam at lr~1e-3 (C11: the reference family's setting)."""
+    return optax.adam(cfg.train.learning_rate)
+
+
+def create_train_state(
+    cfg: Config, model: AudioTagger, sample_batch: jnp.ndarray, seed: Optional[int] = None
+) -> TrainState:
+    seed = cfg.train.seed if seed is None else seed
+    init_key, dropout_key = jax.random.split(jax.random.key(seed))
+    variables = model.init(init_key, sample_batch, train=False)
+    tx = make_optimizer(cfg)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        dropout_key=dropout_key,
+    )
+
+
+def _apply_frontend(cfg: Config, x: jnp.ndarray) -> jnp.ndarray:
+    """Device-side front-end for waveform batches (C3 on TPU inside the
+    step program)."""
+    return fe.waveform_to_patches(x, cfg.frontend)
+
+
+def make_train_step(
+    cfg: Config, model: AudioTagger, input_kind: str
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, jnp.ndarray]]:
+    """(state, x, y) -> (state', loss). x is a waveform [B, n], feature
+    sequence [B, T, D], or patch tensor [B, T, 96, 64] per ``input_kind``."""
+    tx = make_optimizer(cfg)
+    has_bn = cfg.model.trunk in ("cnn",)  # CompactCNN default norm is BatchNorm
+
+    def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
+        if input_kind == "waveform":
+            x_in = _apply_frontend(cfg, x)
+        else:
+            x_in = x
+        rng = jax.random.fold_in(state.dropout_key, state.step)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                probs, mutated = model.apply(
+                    variables, x_in, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": rng},
+                )
+                new_stats = mutated["batch_stats"]
+            else:
+                probs = model.apply(variables, x_in, train=True, rngs={"dropout": rng})
+                new_stats = state.batch_stats
+            return bce_loss(probs, y), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, loss
+
+    return step
+
+
+def make_eval_step(cfg: Config, model: AudioTagger, input_kind: str):
+    """(state, x) -> probs, eval mode (running BN stats, no dropout)."""
+
+    def step(state: TrainState, x: jnp.ndarray) -> jnp.ndarray:
+        if input_kind == "waveform":
+            x = _apply_frontend(cfg, x)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return model.apply(variables, x, train=False).astype(jnp.float32)
+
+    return step

@@ -1,0 +1,67 @@
+"""CLI tests (C17): the reference's public verbs through python -m mla_tpu."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mla_tpu.__main__ import main
+from mla_tpu.data import audio_io
+
+
+def test_configs_lists(capsys):
+    main(["configs"])
+    out = capsys.readouterr().out
+    assert "esc50_single_attention" in out and "audioset_full_dp" in out
+
+
+def test_prep_packs_hdf5(tmp_path, capsys):
+    out = str(tmp_path / "pack.h5")
+    main(["prep", "--config", "audioset_multi_level", "--out", out,
+          "--set", "data.n_train_clips=6"])
+    assert os.path.exists(out)
+    from mla_tpu.data.hdf5 import load_data
+
+    x, y, ids = load_data(out)
+    assert x.shape[0] == 6 and y.shape == (6, 527)
+
+
+def test_extract_wav_to_patches(tmp_path, capsys):
+    wav = (np.random.default_rng(0).standard_normal(16000 * 2) * 0.1).astype(np.float32)
+    wp = str(tmp_path / "a.wav")
+    audio_io.write_wav(wp, wav)
+    out = str(tmp_path / "patches.npy")
+    main(["extract", "--wav", wp, "--out", out])
+    patches = np.load(out)
+    assert patches.shape[1:] == (96, 64) and patches.shape[0] == 2
+
+
+def test_train_then_eval_cli(tmp_path, capsys):
+    args = ["--config", "esc50_single_attention",
+            "--workspace", str(tmp_path),
+            "--set", "train.num_steps=6", "train.batch_size=8", "train.eval_every=6",
+            "train.checkpoint_every=6", "data.n_train_clips=16", "data.n_eval_clips=8",
+            "data.clip_seconds=1.5", "model.conv_channels=8", "model.convs_per_stage=1",
+            "model.hidden_units=32", "train.data_parallel=1"]
+    main(["train"] + args)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "final_loss" in out and np.isfinite(out["final_loss"])
+    main(["eval"] + args)
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "mAP" in stats
+
+
+def test_infer_cli(tmp_path, capsys):
+    wav = (np.random.default_rng(1).standard_normal(16000 * 12) * 0.1).astype(np.float32)
+    wp = str(tmp_path / "b.wav")
+    audio_io.write_wav(wp, wav)
+    common = ["--config", "streaming_inference", "--wav", wp,
+              "--set", "model.conv_channels=8", "model.convs_per_stage=1",
+              "model.hidden_units=32", "model.n_classes=20", "model.n_blocks=2"]
+    main(["infer"] + common)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out["top_k"]) == 5
+    main(["infer", "--stream"] + common)
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out2["top_k"]) == 5

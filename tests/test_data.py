@@ -1,0 +1,118 @@
+"""Data layer tests: HDF5 round-trip + dequant (C2), balanced sampler
+determinism/resume/balance (C9), synthetic datasets, wav IO."""
+
+import numpy as np
+import pytest
+
+from mla_tpu.config import DataConfig
+from mla_tpu.data import audio_io, hdf5, synthetic
+from mla_tpu.data.sampler import BalancedSampler, SequentialSampler
+
+
+def test_uint8_roundtrip(rng):
+    x = (rng.random((5, 10, 128)).astype(np.float32) * 3.9 - 1.95).astype(np.float32)
+    q = hdf5.float32_to_uint8(x)
+    x2 = hdf5.uint8_to_float32(q)
+    assert q.dtype == np.uint8
+    assert np.abs(x - x2).max() <= 2.0 / 128 + 1e-6  # one quantization step
+
+def test_hdf5_pack_load(tmp_path, rng):
+    x = (rng.random((8, 10, 128)).astype(np.float32) * 3.9 - 1.95)  # within dequant range
+    y = rng.random((8, 20)) < 0.1
+    p = str(tmp_path / "pack.h5")
+    hdf5.pack_hdf5(p, x, y, quantize=True)
+    x2, y2, ids = hdf5.load_data(p)
+    assert x2.shape == x.shape and y2.shape == y.shape
+    assert y2.dtype == np.float32
+    np.testing.assert_array_equal(y2, y.astype(np.float32))
+    assert np.abs(x2 - x).max() <= 2.0 / 128 + 1e-6
+    assert ids[0] == b"clip00000000"
+
+
+def test_hdf5_load_many(tmp_path, rng):
+    for i in range(2):
+        hdf5.pack_hdf5(
+            str(tmp_path / f"p{i}.h5"),
+            rng.standard_normal((4, 10, 128)).astype(np.float32),
+            rng.random((4, 5)) < 0.3,
+        )
+    x, y, ids = hdf5.load_many([str(tmp_path / "p0.h5"), str(tmp_path / "p1.h5")])
+    assert x.shape[0] == 8 and y.shape[0] == 8
+
+
+def test_balanced_sampler_balances_long_tail(rng):
+    # long-tail: class 0 in 90% of clips, class 9 in ~1%
+    n, c = 2000, 10
+    y = np.zeros((n, c), bool)
+    for k in range(c):
+        p = 0.9 * (0.5 ** k) + 0.005
+        y[:, k] = rng.random(n) < p
+    y[~y.any(1), 0] = True
+    s = BalancedSampler(y, batch_size=100, seed=0)
+    counts = np.zeros(c)
+    for _ in range(100):
+        idx = s.next_batch()
+        counts += y[idx].sum(0)
+    frac = counts / counts.sum()
+    # every class should get within 3x of uniform share despite 90:1 skew
+    assert frac.min() > (1 / c) / 3, frac
+
+
+def test_balanced_sampler_deterministic_and_resumable(rng):
+    y = rng.random((200, 15)) < 0.2
+    y[~y.any(1), 0] = True
+    a = BalancedSampler(y, 16, seed=7)
+    b = BalancedSampler(y, 16, seed=7)
+    for _ in range(5):
+        np.testing.assert_array_equal(a.next_batch(), b.next_batch())
+    state = a.state_dict()
+    nxt = [a.next_batch() for _ in range(3)]
+    c = BalancedSampler(y, 16, seed=0)
+    c.load_state_dict(state)
+    for want in nxt:
+        np.testing.assert_array_equal(c.next_batch(), want)
+
+
+def test_sequential_sampler_covers_all():
+    s = SequentialSampler(25, 8)
+    batches = list(s)
+    assert sum(len(b) for b in batches) == 25
+    np.testing.assert_array_equal(np.concatenate(batches), np.arange(25))
+
+
+def test_synthetic_waveforms_separable():
+    x, y = synthetic.synth_waveforms(10, 5, 1.0, multi_label=False, seed=0)
+    assert x.shape == (10, 16000) and y.shape == (10, 5)
+    assert (y.sum(1) == 1).all()
+
+
+def test_synthetic_features_span_structure():
+    x, y = synthetic.synth_features(20, 30, multi_label=True, seed=1)
+    assert x.shape == (20, 10, 128) and y.sum() >= 20
+
+
+def test_make_dataset_dispatch():
+    cfg = DataConfig(dataset="synthetic_esc50", n_train_clips=4, n_eval_clips=2, clip_seconds=1.0)
+    tr = synthetic.make_dataset(cfg, 50, "train")
+    ev = synthetic.make_dataset(cfg, 50, "eval")
+    assert tr.x.shape[0] == 4 and ev.x.shape[0] == 2
+    assert tr.kind == "waveform"
+    with pytest.raises(ValueError):
+        synthetic.make_dataset(DataConfig(dataset="nope"), 5)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (rng.standard_normal(32000) * 0.1).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    audio_io.write_wav(p, x, 16000)
+    x2, sr = audio_io.read_wav(p)
+    assert sr == 16000
+    np.testing.assert_allclose(x2, x, atol=2e-4)
+    x3 = audio_io.load_wav_16k(p)
+    assert x3.shape == x.shape
+
+
+def test_resample_halves_length(rng):
+    x = rng.standard_normal(32000).astype(np.float32)
+    y = audio_io.resample(x, 32000, 16000)
+    assert abs(len(y) - 16000) <= 1

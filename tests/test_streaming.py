@@ -1,0 +1,109 @@
+"""Streaming inference service tests (T11): chunked long-form == whole clip,
+arbitrary feed block sizes, O(1) state."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from mla_tpu.config import Config, DataConfig, ModelConfig
+from mla_tpu.models.zoo import build_model
+from mla_tpu.ops.frontend import waveform_to_patches
+from mla_tpu.serve.streaming import StreamingTagger, tag_clip
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(
+        name="stream_test",
+        model=ModelConfig(variant="multi_level_attention", trunk="cnn", n_classes=12,
+                          n_blocks=2, hidden_units=64, conv_channels=(8, 16),
+                          convs_per_stage=1, compute_dtype="float32"),
+    )
+    model = build_model(cfg.model)
+    wav = (np.random.default_rng(3).standard_normal(16000 * 30) * 0.1).astype(np.float32)
+    patches = waveform_to_patches(jnp.asarray(wav[: 16000 * 2])[None], cfg.frontend)
+    variables = model.init(jax.random.key(0), patches)
+    return cfg, variables, wav
+
+
+def test_streaming_matches_whole_clip(setup):
+    cfg, variables, wav = setup
+    # 30 s = 31 patches; use the first 30 patches' worth so both paths see
+    # identical audio (whole-clip drops the trailing partial patch too)
+    n_keep = 16000 * 30
+    whole = tag_clip(cfg, variables, wav[:n_keep])
+    tagger = StreamingTagger(cfg, variables, chunk_patches=5)
+    for s in range(0, n_keep, 7777):  # awkward block size on purpose
+        tagger.feed(wav[s : s + 7777])
+    # don't flush: compare the exactly-consumed whole patches
+    consumed_patches = 25  # 5-patch chunks out of ~31 patches -> 6 full chunks? depends
+    scores = tagger.scores()
+    assert scores.shape == (12,)
+    # feed-consumed patches are a prefix of the whole clip's; scores should
+    # be close (attention pooling over 25 vs 30 patches of the same audio)
+    assert np.abs(scores - whole).max() < 0.15
+
+
+def test_streaming_exact_on_chunk_multiple(setup):
+    cfg, variables, _ = setup
+    # craft audio that is exactly 2 chunks of 5 patches: streaming == whole
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    hop = cfg.frontend.example_hop_frames * cfg.frontend.hop_length
+    n = _samples_per_patches(cfg.frontend, 10)
+    wav = (np.random.default_rng(5).standard_normal(n) * 0.1).astype(np.float32)
+    whole = tag_clip(cfg, variables, wav)
+    tagger = StreamingTagger(cfg, variables, chunk_patches=5)
+    tagger.feed(wav[: 5 * hop])
+    tagger.feed(wav[5 * hop :])  # second feed completes chunk 2 incl. overlap tail
+    scores = tagger.scores()
+    np.testing.assert_allclose(scores, whole, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_state_is_o1(setup):
+    cfg, variables, wav = setup
+    tagger = StreamingTagger(cfg, variables, chunk_patches=5)
+    tagger.feed(wav[: 16000 * 10])
+    sizes1 = [int(np.prod(s.num.shape)) for s in tagger.states]
+    tagger.feed(wav[16000 * 10 :])
+    sizes2 = [int(np.prod(s.num.shape)) for s in tagger.states]
+    assert sizes1 == sizes2  # state does not grow with audio length
+
+
+def test_streaming_reset_and_empty_error(setup):
+    cfg, variables, wav = setup
+    tagger = StreamingTagger(cfg, variables, chunk_patches=2)
+    with pytest.raises(RuntimeError, match="no audio"):
+        tagger.scores()
+    tagger.feed(wav[: 16000 * 5])
+    assert tagger.scores().shape == (12,)
+    tagger.reset()
+    with pytest.raises(RuntimeError, match="no audio"):
+        tagger.scores()
+
+
+def test_streaming_flush_short_tail(setup):
+    cfg, variables, wav = setup
+    tagger = StreamingTagger(cfg, variables, chunk_patches=5)
+    tagger.feed(wav[: 16000 * 1])  # < 1 chunk
+    tagger.flush()
+    assert np.isfinite(tagger.scores()).all()
+
+
+def test_streaming_rejects_pool_variants(setup):
+    cfg, variables, _ = setup
+    bad = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, variant="avg_pool"))
+    with pytest.raises(ValueError, match="attention variant"):
+        StreamingTagger(bad, variables)
+
+
+def test_top_k(setup):
+    cfg, variables, wav = setup
+    tagger = StreamingTagger(cfg, variables, chunk_patches=5)
+    tagger.feed(wav[: 16000 * 10])
+    top = tagger.top_k(3)
+    assert len(top) == 3 and top[0][1] >= top[1][1] >= top[2][1]

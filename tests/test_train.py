@@ -1,0 +1,97 @@
+"""Integration: config-1-style end-to-end training on CPU (SURVEY.md §4
+"Integration" row) — loss decreases, mAP above chance, checkpoint
+round-trips, resume is deterministic."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from mla_tpu.config import Config, DataConfig, ModelConfig, TrainConfig, get_config
+from mla_tpu.train.loop import fit, resume
+
+
+def _tiny_cfg(tmp_path, variant="single_attention", trunk="none", steps=60) -> Config:
+    return Config(
+        name=f"test_{variant}_{trunk}",
+        workspace=str(tmp_path),
+        model=ModelConfig(
+            variant=variant,
+            trunk=trunk,
+            n_classes=8,
+            n_blocks=2,
+            hidden_units=64,
+            conv_channels=(8, 16),
+            convs_per_stage=1,
+            dropout_rate=0.2,
+            compute_dtype="float32",
+        ),
+        data=DataConfig(dataset="synthetic_audioset", n_train_clips=64, n_eval_clips=32,
+                        clip_seconds=2.0),
+        train=TrainConfig(batch_size=16, num_steps=steps, eval_every=steps,
+                          checkpoint_every=steps, log_every=10, learning_rate=3e-3,
+                          data_parallel=1),
+    )
+
+
+def test_fit_features_loss_decreases_and_beats_chance(tmp_path):
+    cfg = _tiny_cfg(tmp_path, variant="multi_level_attention", trunk="none")
+    res = fit(cfg, log=False)
+    losses = [h["loss"] for h in res.history]
+    assert losses[-1] < losses[0] * 0.8, losses
+    stats = res.eval_stats[-1]
+    # 8 classes, ~2 active/clip -> chance mAP ~ 0.25; trained should clear it
+    assert stats["mAP"] > 0.4, stats
+    assert np.isfinite(stats["d_prime"])
+
+
+def test_fit_waveform_cnn_runs(tmp_path):
+    cfg = _tiny_cfg(tmp_path, variant="single_attention", trunk="cnn", steps=12)
+    res = fit(cfg, log=False)
+    assert len(res.history) >= 1
+    assert np.isfinite(res.history[-1]["loss"])
+
+
+def test_checkpoint_roundtrip_and_resume(tmp_path):
+    cfg = _tiny_cfg(tmp_path, variant="single_attention", trunk="none", steps=30)
+    res = fit(cfg, log=False)
+    state, sampler_state = resume(cfg)
+    assert int(state.step) == 30
+    assert sampler_state is not None and sampler_state["step"] == 30
+    # params equal the in-memory final state
+    import jax
+
+    same = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), res.state.params, state.params
+    )
+    assert all(jax.tree.leaves(same))
+
+
+def test_fit_dp8_matches_dp1_losses(tmp_path):
+    """DP gradient equivalence (SURVEY.md §4): same seeds, 1 vs 8 devices,
+    same loss trajectory."""
+    cfg1 = dataclasses.replace(
+        _tiny_cfg(tmp_path / "a", steps=10),
+        train=TrainConfig(batch_size=16, num_steps=10, eval_every=100, log_every=1,
+                          checkpoint_every=100, data_parallel=1),
+    )
+    cfg8 = dataclasses.replace(cfg1, workspace=str(tmp_path / "b"),
+                               train=dataclasses.replace(cfg1.train, data_parallel=-1))
+    l1 = [h["loss"] for h in fit(cfg1, log=False).history]
+    l8 = [h["loss"] for h in fit(cfg8, log=False).history]
+    np.testing.assert_allclose(l1, l8, rtol=2e-4, atol=1e-5)
+
+
+def test_batch_size_must_divide_dp(tmp_path):
+    cfg = _tiny_cfg(tmp_path)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, batch_size=9,
+                                                             data_parallel=-1))
+    with pytest.raises(ValueError, match="divisible"):
+        fit(cfg, log=False)
+
+
+def test_scalar_log_written(tmp_path):
+    cfg = _tiny_cfg(tmp_path, steps=10)
+    fit(cfg, log=False)
+    assert os.path.exists(os.path.join(str(tmp_path), "scalars.csv"))
