@@ -34,6 +34,12 @@ class FrontendConfig:
     log_offset: float = 0.01
     example_window_seconds: float = 0.96
     example_hop_seconds: float = 0.96
+    # implementation: "xla" (jnp ops, runs anywhere) | "pallas" (fused TPU
+    # kernel T1; falls back to interpret mode off-TPU so tests still run)
+    impl: str = "xla"
+    # matmul precision for the DFT/mel GEMMs: "highest" == f32 parity
+    # (~1e-4 vs oracle), "default" == bf16 passes (~4e-2, ~25% faster)
+    precision: str = "highest"
 
     @property
     def window_length(self) -> int:
@@ -171,6 +177,7 @@ def _us8k() -> Config:
     """BASELINE.json:8 — UrbanSound8K 10-class, fused front-end kernel + CNN."""
     return Config(
         name="us8k_fused_frontend",
+        frontend=FrontendConfig(impl="pallas"),
         model=ModelConfig(
             variant="single_attention",
             trunk="cnn",

@@ -191,6 +191,19 @@ def waveform_to_patches(
     return jnp.stack([lm[..., s : s + wf, :] for s in starts], axis=-3)
 
 
+def apply_frontend(x: jax.Array, cfg: FrontendConfig = FrontendConfig()) -> jax.Array:
+    """Dispatch on cfg.impl: fused Pallas kernel (T1) or jnp/XLA ops.
+    The Pallas path interprets off-TPU so the same config runs in CPU tests."""
+    if cfg.impl == "pallas":
+        from mla_tpu.ops.pallas_frontend import fused_log_mel_patches
+
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        return fused_log_mel_patches(x, cfg, precision=cfg.precision, interpret=interpret)
+    if cfg.impl == "xla":
+        return waveform_to_patches(x, cfg)
+    raise ValueError(f"unknown frontend impl {cfg.impl!r}")
+
+
 def patches_per_clip(n_samples: int, cfg: FrontendConfig = FrontendConfig()) -> int:
     """Static patch count for an n_samples-long clip (shape planning)."""
     num_frames = 1 + (n_samples - cfg.window_length) // cfg.hop_length

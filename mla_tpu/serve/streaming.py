@@ -63,7 +63,7 @@ class StreamingTagger:
         self.reset()
 
         def chunk_step(states, wav):
-            patches = fe.waveform_to_patches(wav, cfg.frontend)  # [1, P, 96, 64]
+            patches = fe.apply_frontend(wav, cfg.frontend)  # [1, P, 96, 64]
             levels = self.model.apply(self.variables, patches, method="segment_logits")
             return [
                 ap.update_stream_state(st, g, c, cfg.model.att_activation,
@@ -119,7 +119,7 @@ class StreamingTagger:
         padded[: len(self._buf)] = self._buf
         levels = self.model.apply(
             self.variables,
-            fe.waveform_to_patches(jnp.asarray(padded[None]), self.cfg.frontend),
+            fe.apply_frontend(jnp.asarray(padded[None]), self.cfg.frontend),
             method="segment_logits",
         )
         self.states = [
@@ -145,5 +145,5 @@ class StreamingTagger:
 def tag_clip(cfg: Config, variables: Dict, waveform: np.ndarray) -> np.ndarray:
     """One-shot inference (reference C15): whole waveform -> clip scores."""
     model = build_model(cfg.model)
-    patches = fe.waveform_to_patches(jnp.asarray(waveform, jnp.float32)[None], cfg.frontend)
+    patches = fe.apply_frontend(jnp.asarray(waveform, jnp.float32)[None], cfg.frontend)
     return np.asarray(model.apply(variables, patches))[0]

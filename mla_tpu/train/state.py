@@ -65,8 +65,8 @@ def create_train_state(
 
 def _apply_frontend(cfg: Config, x: jnp.ndarray) -> jnp.ndarray:
     """Device-side front-end for waveform batches (C3 on TPU inside the
-    step program)."""
-    return fe.waveform_to_patches(x, cfg.frontend)
+    step program; fused Pallas kernel when cfg.frontend.impl == 'pallas')."""
+    return fe.apply_frontend(x, cfg.frontend)
 
 
 def make_train_step(
