@@ -131,14 +131,11 @@ def cmd_infer(args):
         scores = tagger.scores()
     else:
         scores = tag_clip(cfg, variables, wav)
+    from mla_tpu.data.labels import labels_for
+
+    names = labels_for(cfg.data.dataset, cfg.model.n_classes, args.labels_csv)
     top = np.argsort(-scores)[: args.top_k]
-    print(json.dumps({"top_k": [[int(i), float(scores[i])] for i in top]}))
-
-
-def cmd_bench(args):
-    from mla_tpu import bench as bench_mod  # noqa: F401  (lazy; heavy)
-
-    raise SystemExit("use bench.py at the repo root")
+    print(json.dumps({"top_k": [[names[i], float(scores[i])] for i in top]}))
 
 
 def main(argv=None):
@@ -183,6 +180,8 @@ def main(argv=None):
                     help="'random' for demo weights, else use latest checkpoint")
     si.add_argument("--stream", action="store_true", help="chunked streaming path")
     si.add_argument("--top_k", type=int, default=5)
+    si.add_argument("--labels_csv", default=None,
+                    help="AudioSet class_labels_indices.csv for display names")
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
 
