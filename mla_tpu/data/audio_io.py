@@ -19,7 +19,14 @@ from scipy.signal import resample_poly as _resample_poly
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a wav file -> (float32 waveform in [-1, 1], sample_rate).
     Integer PCM is scaled by its dtype range; multi-channel is mean-downmixed
-    to mono (the reference pipeline is mono 16 kHz)."""
+    to mono (the reference pipeline is mono 16 kHz).
+
+    Uses the native C++ decoder (data.native) when built; scipy fallback."""
+    from mla_tpu.data import native
+
+    if native.available():
+        with open(path, "rb") as f:
+            return native.wav_decode(f.read())
     sr, data = _wavfile.read(path)
     if data.dtype == np.int16:
         x = data.astype(np.float32) / 32768.0
@@ -37,6 +44,10 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 def resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
     if sr == target_sr:
         return np.asarray(x, np.float32)
+    from mla_tpu.data import native
+
+    if native.available():
+        return native.resample(np.asarray(x, np.float32), sr, target_sr)
     frac = Fraction(target_sr, sr).limit_denominator(1000)
     return _resample_poly(x, frac.numerator, frac.denominator).astype(np.float32)
 

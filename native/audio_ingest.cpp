@@ -1,0 +1,230 @@
+// Native host-side audio ingest for mla_tpu (the runtime tier around the
+// TPU compute path; the reference's host front-end prep is its hot loop #1,
+// SURVEY.md §3.1 — decode/resample stay on host, so they are implemented
+// natively here and exposed to Python via ctypes).
+//
+// Components:
+//   - RIFF/WAVE decoder: PCM 8/16/24/32-bit and IEEE float32/64, any
+//     channel count (mean-downmixed to mono), fmt-chunk walking.
+//   - Polyphase rational resampler: windowed-sinc (Kaiser) low-pass FIR at
+//     L/M rate conversion, zero-phase-aligned like scipy.resample_poly.
+//   - Streaming ring buffer: accumulate arbitrary sample blocks, pop
+//     fixed-size front-end chunks with patch-hop overlap retention.
+//
+// Build: g++ -O3 -march=native -shared -fPIC audio_ingest.cpp -o libaudio_ingest.so
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr double kPi = 3.14159265358979323846;
+
+// ---------- Kaiser-windowed sinc FIR (scipy.resample_poly semantics) ----------
+
+double bessel_i0(double x) {
+  // series expansion; converges fast for the beta range we use
+  double sum = 1.0, term = 1.0;
+  for (int k = 1; k < 64; ++k) {
+    term *= (x / (2.0 * k)) * (x / (2.0 * k));
+    sum += term;
+    if (term < 1e-21 * sum) break;
+  }
+  return sum;
+}
+
+long gcd_long(long a, long b) { return b == 0 ? a : gcd_long(b, a % b); }
+
+// firwin(2*half_len+1, cutoff, window=('kaiser', beta)) * scale — the same
+// filter scipy.resample_poly builds internally (half_len = 10 * max(L, M)).
+std::vector<double> design_filter(long up, long down) {
+  const long max_rate = std::max(up, down);
+  const double f_c = 1.0 / (2.0 * max_rate);  // normalized (Nyquist = 0.5)
+  const long half_len = 10 * max_rate;
+  const long n = 2 * half_len + 1;
+  const double beta = 5.0;
+  std::vector<double> h(n);
+  const double i0b = bessel_i0(beta);
+  double sum = 0.0;
+  for (long i = 0; i < n; ++i) {
+    const double m = static_cast<double>(i) - half_len;
+    const double sinc = (m == 0.0) ? 2.0 * f_c
+                                   : std::sin(2.0 * kPi * f_c * m) / (kPi * m);
+    const double r = m / half_len;
+    const double kaiser = bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r))) / i0b;
+    h[i] = sinc * kaiser;
+    sum += h[i] * (i % 1 == 0);
+  }
+  // normalize DC gain to `up` (resample_poly scales by up)
+  double dc = 0.0;
+  for (double v : h) dc += v;
+  const double scale = static_cast<double>(up) / dc;
+  for (double& v : h) v *= scale;
+  return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------- WAV decode ----------
+
+// Returns sample count written (mono), or -1 on parse error, -2 if out
+// buffer too small. If out == nullptr, performs a dry run returning the
+// required mono sample count and *sample_rate.
+long wav_decode(const uint8_t* data, long n_bytes, float* out, long max_out,
+                int* sample_rate) {
+  if (n_bytes < 44 || std::memcmp(data, "RIFF", 4) || std::memcmp(data + 8, "WAVE", 4))
+    return -1;
+  long pos = 12;
+  int fmt_code = -1, channels = 0, bits = 0, rate = 0;
+  const uint8_t* pcm = nullptr;
+  long pcm_bytes = 0;
+  while (pos + 8 <= n_bytes) {
+    const char* id = reinterpret_cast<const char*>(data + pos);
+    uint32_t size;
+    std::memcpy(&size, data + pos + 4, 4);
+    const uint8_t* body = data + pos + 8;
+    if (pos + 8 + static_cast<long>(size) > n_bytes) size = static_cast<uint32_t>(n_bytes - pos - 8);
+    if (!std::memcmp(id, "fmt ", 4) && size >= 16) {
+      uint16_t code, ch, bps;
+      uint32_t sr;
+      std::memcpy(&code, body, 2);
+      std::memcpy(&ch, body + 2, 2);
+      std::memcpy(&sr, body + 4, 4);
+      std::memcpy(&bps, body + 14, 2);
+      if (code == 0xFFFE && size >= 40) std::memcpy(&code, body + 24, 2);  // extensible
+      fmt_code = code;
+      channels = ch;
+      bits = bps;
+      rate = static_cast<int>(sr);
+    } else if (!std::memcmp(id, "data", 4)) {
+      pcm = body;
+      pcm_bytes = size;
+    }
+    pos += 8 + size + (size & 1);  // chunks are word-aligned
+  }
+  if (!pcm || channels <= 0 || rate <= 0) return -1;
+  const long bytes_per_sample = bits / 8;
+  if (bytes_per_sample <= 0) return -1;
+  const long n_frames = pcm_bytes / (bytes_per_sample * channels);
+  if (sample_rate) *sample_rate = rate;
+  if (!out) return n_frames;
+  if (n_frames > max_out) return -2;
+
+  const double inv_ch = 1.0 / channels;
+  for (long f = 0; f < n_frames; ++f) {
+    double acc = 0.0;
+    for (int c = 0; c < channels; ++c) {
+      const uint8_t* p = pcm + (f * channels + c) * bytes_per_sample;
+      double v = 0.0;
+      if (fmt_code == 3) {  // IEEE float
+        if (bits == 32) {
+          float x;
+          std::memcpy(&x, p, 4);
+          v = x;
+        } else if (bits == 64) {
+          double x;
+          std::memcpy(&x, p, 8);
+          v = x;
+        }
+      } else {  // PCM
+        if (bits == 16) {
+          int16_t x;
+          std::memcpy(&x, p, 2);
+          v = x / 32768.0;
+        } else if (bits == 32) {
+          int32_t x;
+          std::memcpy(&x, p, 4);
+          v = x / 2147483648.0;
+        } else if (bits == 24) {
+          int32_t x = (p[0] << 8) | (p[1] << 16) | (p[2] << 24);
+          v = (x >> 8) / 8388608.0;
+        } else if (bits == 8) {
+          v = (p[0] - 128) / 128.0;
+        }
+      }
+      acc += v;
+    }
+    out[f] = static_cast<float>(acc * inv_ch);
+  }
+  return n_frames;
+}
+
+// ---------- Polyphase resample ----------
+
+// scipy.signal.resample_poly(x, up, down) semantics (kaiser beta=5,
+// half_len=10*max_rate, same-phase output length ceil(n*up/down)).
+// Returns samples written, -2 if out buffer too small.
+long resample_poly(const float* in, long n_in, long sr_in, long sr_out,
+                   float* out, long max_out) {
+  if (sr_in == sr_out) {
+    if (n_in > max_out) return -2;
+    std::memcpy(out, in, n_in * sizeof(float));
+    return n_in;
+  }
+  const long g = gcd_long(sr_in, sr_out);
+  const long up = sr_out / g, down = sr_in / g;
+  const long n_out = (n_in * up + down - 1) / down;
+  if (n_out > max_out) return -2;
+  const std::vector<double> h = design_filter(up, down);
+  const long half_len = (static_cast<long>(h.size()) - 1) / 2;
+
+  // y[m] = sum_k h[k] * x_up[m*down - k + half_len], where x_up is the
+  // zero-stuffed input: x_up[i] = x[i/up] when i % up == 0.
+  for (long m = 0; m < n_out; ++m) {
+    const long center = m * down + half_len;
+    // only taps where (center - k) % up == 0 contribute; walk those
+    double acc = 0.0;
+    // smallest k >= max(0, center - (n_in-1)*up) with (center - k) % up == 0
+    long k_lo = std::max(0L, center - (n_in - 1) * up);
+    const long rem = (center - k_lo) % up;
+    k_lo += rem;  // align to a multiple
+    const long k_hi = std::min(static_cast<long>(h.size()) - 1, center);
+    for (long k = k_lo; k <= k_hi; k += up) {
+      acc += h[k] * in[(center - k) / up];
+    }
+    out[m] = static_cast<float>(acc);
+  }
+  return n_out;
+}
+
+// ---------- Streaming ring buffer ----------
+
+struct RingBuffer {
+  std::vector<float> buf;
+  long start = 0;  // absolute index of buf[0] in the stream
+  long len = 0;    // valid samples
+};
+
+void* ring_new() { return new RingBuffer(); }
+
+void ring_free(void* rb) { delete static_cast<RingBuffer*>(rb); }
+
+void ring_push(void* rb, const float* x, long n) {
+  auto* r = static_cast<RingBuffer*>(rb);
+  r->buf.resize(r->len + n);
+  std::memcpy(r->buf.data() + r->len, x, n * sizeof(float));
+  r->len += n;
+}
+
+long ring_size(void* rb) { return static_cast<RingBuffer*>(rb)->len; }
+
+// Pop a chunk of `chunk` samples (written to out) and advance by `advance`
+// samples, keeping the overlap tail. Returns 1 on success, 0 if not enough
+// data buffered.
+int ring_pop_chunk(void* rb, float* out, long chunk, long advance) {
+  auto* r = static_cast<RingBuffer*>(rb);
+  if (r->len < chunk) return 0;
+  std::memcpy(out, r->buf.data(), chunk * sizeof(float));
+  const long adv = std::min(advance, r->len);
+  r->buf.erase(r->buf.begin(), r->buf.begin() + adv);
+  r->len -= adv;
+  r->start += adv;
+  return 1;
+}
+
+}  // extern "C"
