@@ -185,6 +185,9 @@ def main(argv=None):
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
 
+    sy = sub.add_parser("parity", help="run the reference-parity harness (T12)")
+    sy.set_defaults(fn=lambda a: __import__("mla_tpu.parity", fromlist=["main"]).main())
+
     args = p.parse_args(argv)
     return args.fn(args)
 
