@@ -109,6 +109,9 @@ class ModelConfig:
     conv_channels: Tuple[int, ...] = (64, 128, 256, 512)
     convs_per_stage: int = 2
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay f32
+    # jax.checkpoint the trunk: recompute activations in backward instead of
+    # storing them — trades MXU FLOPs for HBM (long clips / big batches)
+    remat_trunk: bool = False
 
 
 @dataclass(frozen=True)
@@ -132,6 +135,11 @@ class TrainConfig:
 
     batch_size: int = 128
     learning_rate: float = 1e-3
+    # C11 "optional decay": constant | cosine | exponential
+    lr_schedule: str = "constant"
+    lr_decay_rate: float = 0.96  # per 1000 steps, exponential schedule
+    warmup_steps: int = 0
+    gradient_clip_norm: float = 0.0  # 0 = off
     num_steps: int = 1000
     eval_every: int = 200
     checkpoint_every: int = 500

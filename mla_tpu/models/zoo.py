@@ -91,7 +91,12 @@ class AudioTagger(nn.Module):
             return x
         b, t = x.shape[0], x.shape[1]
         flat = x.reshape((b * t,) + x.shape[2:])  # patches into the batch axis
-        emb = self.trunk_module(flat, train=train)
+        if self.cfg.remat_trunk:
+            # recompute trunk activations in backward instead of storing
+            # them: trades MXU FLOPs for HBM (jax.checkpoint via nn.remat)
+            emb = nn.remat(lambda m, xx: m(xx, train))(self.trunk_module, flat)
+        else:
+            emb = self.trunk_module(flat, train=train)
         return emb.reshape(b, t, -1)
 
     def head(self, h: jnp.ndarray, train: bool = False) -> jnp.ndarray:

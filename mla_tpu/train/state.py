@@ -42,8 +42,27 @@ def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    """Adam at lr~1e-3 (C11: the reference family's setting)."""
-    return optax.adam(cfg.train.learning_rate)
+    """Adam at lr~1e-3 (C11: the reference family's setting), with optional
+    warmup + decay schedule and gradient clipping."""
+    t = cfg.train
+    if t.lr_schedule == "constant":
+        sched = optax.constant_schedule(t.learning_rate)
+    elif t.lr_schedule == "cosine":
+        sched = optax.cosine_decay_schedule(t.learning_rate, max(t.num_steps, 1))
+    elif t.lr_schedule == "exponential":
+        sched = optax.exponential_decay(
+            t.learning_rate, transition_steps=1000, decay_rate=t.lr_decay_rate
+        )
+    else:
+        raise ValueError(f"unknown lr_schedule {t.lr_schedule!r}")
+    if t.warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, t.learning_rate, t.warmup_steps)
+        sched = optax.join_schedules([warm, sched], [t.warmup_steps])
+    parts = []
+    if t.gradient_clip_norm > 0:
+        parts.append(optax.clip_by_global_norm(t.gradient_clip_norm))
+    parts.append(optax.adam(sched))
+    return optax.chain(*parts)
 
 
 def create_train_state(
