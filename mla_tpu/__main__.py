@@ -71,7 +71,7 @@ def cmd_train(args):
     cfg = _load_cfg(args)
     from mla_tpu.train.loop import fit
 
-    result = fit(cfg, workspace=args.workspace)
+    result = fit(cfg, workspace=args.workspace, auto_resume=args.resume)
     last_eval = result.eval_stats[-1] if result.eval_stats else {}
     print(json.dumps({"final_loss": result.history[-1]["loss"] if result.history else None,
                       **{k: v for k, v in last_eval.items()}}))
@@ -163,6 +163,8 @@ def main(argv=None):
     st = sub.add_parser("train", help="train per config")
     st.add_argument("--config", default="esc50_single_attention")
     st.add_argument("--workspace", default=None)
+    st.add_argument("--resume", action="store_true",
+                    help="restore the latest checkpoint and continue")
     st.add_argument("--set", nargs="*")
     st.set_defaults(fn=cmd_train)
 

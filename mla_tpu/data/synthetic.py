@@ -117,7 +117,9 @@ def make_dataset(
         if path is None:
             raise ValueError(f"data.{'hdf5_path' if split == 'train' else 'eval_hdf5_path'} unset")
         x, y, ids = _h5.load_data(path)
-        k = "features" if x.ndim == 3 else "patches"
+        k = {2: "waveform", 3: "features", 4: "patches"}.get(x.ndim)
+        if k is None:
+            raise ValueError(f"unrecognized packed feature rank {x.ndim}")
         return ArrayDataset(x, y, ids, k)
     if name not in _DATASET_CLASSES:
         raise ValueError(f"unknown dataset {name!r}")

@@ -70,8 +70,14 @@ def evaluate(cfg: Config, model, state: TrainState, ds: ArrayDataset,
     return calculate_stats(scores, ds.y)
 
 
-def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True) -> FitResult:
-    """Train per config; returns final state + loss/eval history."""
+def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
+        auto_resume: bool = False) -> FitResult:
+    """Train per config; returns final state + loss/eval history.
+
+    auto_resume=True restores the latest checkpoint (params, opt state,
+    step, sampler position) and continues — the single-slice recovery story
+    (SURVEY.md §5 "failure detection / elastic recovery" row: restart from
+    latest; deterministic given the sampler state)."""
     workspace = workspace or cfg.workspace
     os.makedirs(workspace, exist_ok=True)
     logger = create_logging(os.path.join(workspace, "logs"), cfg.name) if log else None
@@ -136,9 +142,19 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True) -> FitRe
     result = FitResult(state=state)
     say(f"config={cfg.name} devices={mesh.devices.shape} input={input_kind} batch={bs}")
 
+    start_step = 0
+    if auto_resume and ckpt.latest_step() is not None:
+        abstract = jax.eval_shape(lambda: state)
+        state, sampler_st = ckpt.restore(abstract)
+        state = jax.device_put(state, st_shardings)
+        if sampler is not None and sampler_st:
+            sampler.load_state_dict(sampler_st)
+        start_step = int(state.step)
+        say(f"auto-resumed from checkpoint at step {start_step}")
+
     t_last = time.perf_counter()
     clips_done = 0
-    for step_i in range(cfg.train.num_steps):
+    for step_i in range(start_step, cfg.train.num_steps):
         idx = sampler.next_batch() if sampler else rng.integers(0, len(train_ds.x), bs)
         x = pmesh.shard_batch(train_ds.x[idx], mesh)
         y = pmesh.shard_batch(train_ds.y[idx], mesh)
