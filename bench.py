@@ -18,7 +18,7 @@ import time
 
 import numpy as np
 
-BATCH = 64
+BATCH = 128
 SECONDS = 10
 N_ITERS = 20
 CPU_CLIPS = 8
@@ -45,15 +45,14 @@ def _tpu_throughput(cfg):
         return model.apply(variables, waveform_to_patches(wav, cfg.frontend))
 
     # NOTE: on this environment's 'axon' TPU platform block_until_ready is
-    # effectively a no-op (dispatch returns immediately); a host transfer is
-    # the only reliable synchronization, so timing fetches every output
-    # (outputs are [B, 527] f32 ~135 KB — negligible vs the compute).
+    # effectively a no-op AND every host fetch costs a ~27 ms tunnel RTT, so
+    # the N dispatched iterations are synchronized through ONE device-side
+    # combine + a single scalar fetch.
+    combine = jax.jit(lambda xs: jnp.sum(jnp.stack([jnp.sum(x) for x in xs])))
     np.asarray(forward(variables, wav))  # compile + warmup
-    np.asarray(forward(variables, wav))
+    np.asarray(combine([forward(variables, wav) for _ in range(2)]))
     t0 = time.perf_counter()
-    outs = [forward(variables, wav) for _ in range(N_ITERS)]
-    for o in outs:
-        np.asarray(o)
+    np.asarray(combine([forward(variables, wav) for _ in range(N_ITERS)]))
     dt = time.perf_counter() - t0
     infer_cps = BATCH * N_ITERS / dt
 
@@ -66,12 +65,11 @@ def _tpu_throughput(cfg):
     state, loss = step(state, wav, y)
     np.asarray(loss)  # compile + warmup (host fetch = the real sync, see above)
     t0 = time.perf_counter()
-    losses = []
     for _ in range(N_ITERS):
         state, loss = step(state, wav, y)
-        losses.append(loss)
-    for l in losses:  # the state chain serializes steps; fetches force it all
-        np.asarray(l)
+    # the donated-state chain serializes the steps on device; fetching the
+    # final loss forces the whole chain with a single RTT
+    np.asarray(loss)
     train_cps = BATCH * N_ITERS / (time.perf_counter() - t0)
     return infer_cps, train_cps
 

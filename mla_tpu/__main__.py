@@ -43,8 +43,15 @@ def cmd_configs(_args):
 
 
 def cmd_prep(args):
-    """Build the configured (synthetic) dataset and pack it to HDF5 (C1+C2)."""
+    """Build the configured (synthetic) dataset and pack it to HDF5 (C1+C2),
+    or pack real AudioSet TFRecords with --tfrecords=<glob>."""
     cfg = _load_cfg(args)
+    if args.tfrecords:
+        from mla_tpu.data.audioset import pack_audioset
+
+        n = pack_audioset(args.tfrecords, args.out, cfg.model.n_classes)
+        print(f"packed {n} AudioSet clips -> {args.out}")
+        return
     from mla_tpu.data import hdf5, synthetic
 
     kind = "features" if cfg.model.trunk == "none" else "waveform"
@@ -150,6 +157,8 @@ def main(argv=None):
     sp.add_argument("--split", default="train", choices=["train", "eval"])
     sp.add_argument("--out", required=True)
     sp.add_argument("--quantize", action="store_true")
+    sp.add_argument("--tfrecords", default=None,
+                    help="glob of AudioSet SequenceExample tfrecord shards")
     sp.add_argument("--set", nargs="*")
     sp.set_defaults(fn=cmd_prep)
 

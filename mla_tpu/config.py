@@ -150,6 +150,9 @@ class TrainConfig:
     data_parallel: int = -1
     model_parallel: int = 1
     donate_state: bool = True
+    # sanitizer toggle (SURVEY.md §5: jax_debug_nans covers the realistic
+    # failure class; there is no shared-memory race surface under XLA)
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

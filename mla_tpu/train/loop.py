@@ -80,6 +80,8 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
     latest; deterministic given the sampler state)."""
     workspace = workspace or cfg.workspace
     os.makedirs(workspace, exist_ok=True)
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     logger = create_logging(os.path.join(workspace, "logs"), cfg.name) if log else None
     writer = ScalarWriter(os.path.join(workspace, "scalars.csv"))
 
