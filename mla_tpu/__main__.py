@@ -102,6 +102,23 @@ def cmd_eval(args):
 
     eval_step = jax.jit(make_eval_step(cfg, model, kind))
     stats = evaluate(cfg, model, state, eval_ds, eval_step, mesh)
+    if args.per_class:
+        from mla_tpu.data.labels import labels_for
+        from mla_tpu.data.sampler import SequentialSampler
+        from mla_tpu.parallel import mesh as pmesh
+        from mla_tpu.utils.metrics import write_per_class_csv
+
+        outs = []
+        bs = cfg.train.batch_size
+        for idx in SequentialSampler(len(eval_ds.x), bs):
+            x = eval_ds.x[idx]
+            if len(idx) < bs:
+                x = np.concatenate([x, np.repeat(x[-1:], bs - len(idx), 0)])
+            outs.append(np.asarray(eval_step(state, pmesh.shard_batch(x, mesh)))[: len(idx)])
+        write_per_class_csv(
+            args.per_class, np.concatenate(outs), eval_ds.y,
+            labels_for(cfg.data.dataset, cfg.model.n_classes),
+        )
     print(json.dumps(stats))
 
 
@@ -180,6 +197,8 @@ def main(argv=None):
     sv = sub.add_parser("eval", help="evaluate latest checkpoint")
     sv.add_argument("--config", default="esc50_single_attention")
     sv.add_argument("--workspace", default=None)
+    sv.add_argument("--per_class", default=None,
+                    help="write per-class AP/AUC/d' CSV to this path")
     sv.add_argument("--set", nargs="*")
     sv.set_defaults(fn=cmd_eval)
 

@@ -92,3 +92,29 @@ def calculate_stats(
         "mAUC": m_auc,
         "d_prime": float(d_prime(m_auc)) if np.isfinite(m_auc) else float("nan"),
     }
+
+
+def per_class_stats(scores: np.ndarray, targets: np.ndarray):
+    """Per-class AP / AUC / d' arrays (the reference's per-class loop output,
+    written alongside the means for error analysis)."""
+    ap = average_precision(scores, targets)
+    auc = roc_auc(scores, targets)
+    with np.errstate(invalid="ignore"):
+        dp = d_prime(auc)
+    return {"AP": ap, "AUC": auc, "d_prime": dp}
+
+
+def write_per_class_csv(path: str, scores: np.ndarray, targets: np.ndarray,
+                        class_names=None):
+    import csv as _csv
+
+    stats = per_class_stats(scores, targets)
+    n = len(stats["AP"])
+    names = class_names if class_names is not None else [f"class_{i}" for i in range(n)]
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(["index", "name", "AP", "AUC", "d_prime", "n_pos"])
+        n_pos = np.asarray(targets).sum(axis=0)
+        for i in range(n):
+            w.writerow([i, names[i], stats["AP"][i], stats["AUC"][i],
+                        stats["d_prime"][i], int(n_pos[i])])
