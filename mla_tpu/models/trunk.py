@@ -26,10 +26,17 @@ Dtype = Any
 
 
 class CompactCNN(nn.Module):
+    """Configurable NHWC conv trunk. Default shape is the reference-style
+    trainable CNN; with ``pool="avg"`` + ``global_pool="avg+max"`` it
+    becomes the PANNs CNN10/CNN14 block structure (Kong et al. 2020, the
+    modern successor family for AudioSet tagging)."""
+
     conv_channels: Sequence[int] = (64, 128, 256, 512)
     convs_per_stage: int = 2
     embed_dim: int = 128
     norm: str = "batch"  # batch | group | none
+    pool: str = "max"  # max | avg (inter-stage 2x2 pooling)
+    global_pool: str = "avg"  # avg | avg+max
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -49,8 +56,15 @@ class CompactCNN(nn.Module):
                     x = nn.GroupNorm(num_groups=min(32, ch), dtype=self.dtype,
                                      name=f"gn{stage}_{i}")(x)
                 x = nn.relu(x)
-            x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = jnp.mean(x, axis=(1, 2))  # global average pool -> [B, C_last]
+            if min(x.shape[1], x.shape[2]) >= 2:
+                if self.pool == "avg":
+                    x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+                else:
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        if self.global_pool == "avg+max":
+            x = jnp.mean(x, axis=(1, 2)) + jnp.max(x, axis=(1, 2))
+        else:
+            x = jnp.mean(x, axis=(1, 2))
         x = nn.Dense(self.embed_dim, dtype=self.dtype, name="embed")(x)
         return nn.relu(x)
 

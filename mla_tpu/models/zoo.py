@@ -47,6 +47,21 @@ class AudioTagger(nn.Module):
                 embed_dim=cfg.embed_dim,
                 dtype=dtype,
             )
+        elif cfg.trunk in ("cnn10", "cnn14"):
+            # PANNs block structure: 2 convs/stage, avg 2x2 pools, avg+max
+            # global pooling (Kong et al. 2020); cnn14 adds the 1024/2048
+            # stages
+            chans = (64, 128, 256, 512) if cfg.trunk == "cnn10" else (
+                64, 128, 256, 512, 1024, 2048
+            )
+            self.trunk_module = CompactCNN(
+                conv_channels=chans,
+                convs_per_stage=2,
+                embed_dim=cfg.embed_dim,
+                pool="avg",
+                global_pool="avg+max",
+                dtype=dtype,
+            )
         elif cfg.trunk == "vggish":
             self.trunk_module = VGGish(embed_dim=cfg.embed_dim, dtype=dtype)
         elif cfg.trunk == "none":

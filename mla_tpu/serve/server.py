@@ -1,0 +1,159 @@
+"""Multi-stream batched inference server (T11 at production shape: many
+concurrent audio streams share ONE device program per tick).
+
+Each stream has O(1) attention state (ops.attention_pool.StreamState per
+level, batched along the stream axis). The server owns S slots; feeds are
+buffered per slot (native C++ ring buffer when built); every ``tick()``
+gathers the slots that have a full chunk ready and runs one batched
+front-end+trunk+logits program over exactly those — batching is by a
+static-shape mask, so there is a single compiled program regardless of
+which subset is ready (XLA static shapes; masked folds for the rest).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mla_tpu.config import Config
+from mla_tpu.models.zoo import build_model
+from mla_tpu.ops import attention_pool as ap
+from mla_tpu.ops import frontend as fe
+from mla_tpu.serve.streaming import _samples_per_patches
+
+
+class BatchedStreamingServer:
+    """S concurrent long-form streams, one batched device program per tick.
+
+    >>> srv = BatchedStreamingServer(cfg, variables, max_streams=8)
+    >>> sid = srv.open()
+    >>> srv.feed(sid, samples)        # any block size, any interleaving
+    >>> srv.tick()                    # one batched device call
+    >>> srv.scores(sid); srv.close(sid)
+    """
+
+    def __init__(self, cfg: Config, variables: Dict, max_streams: int = 8,
+                 chunk_patches: int = 5):
+        if cfg.model.variant not in ("multi_level_attention", "single_attention"):
+            raise ValueError(f"streaming needs an attention variant, got {cfg.model.variant!r}")
+        self.cfg = cfg
+        self.model = build_model(cfg.model)
+        self.variables = variables
+        self.S = max_streams
+        self.chunk_patches = chunk_patches
+        self.chunk_samples = _samples_per_patches(cfg.frontend, chunk_patches)
+        self.hop_samples = (
+            cfg.frontend.example_hop_frames * cfg.frontend.hop_length * chunk_patches
+        )
+        self._n_levels = (
+            cfg.model.n_blocks if cfg.model.variant == "multi_level_attention" else 1
+        )
+        self._bufs: List[Optional[np.ndarray]] = [None] * self.S
+        self._fed = np.zeros(self.S, bool)
+        c = cfg.model.n_classes
+        self.states = [ap.init_stream_state((self.S, c)) for _ in range(self._n_levels)]
+
+        def batched_step(states, wav, active):
+            """wav [S, chunk_samples]; active [S] bool — fold only active rows."""
+            patches = fe.apply_frontend(wav, cfg.frontend)  # [S, P, 96, 64]
+            levels = self.model.apply(self.variables, patches, method="segment_logits")
+            new_states = []
+            for st, (g, c_) in zip(states, levels):
+                upd = ap.update_stream_state(st, g, c_, cfg.model.att_activation,
+                                             cfg.model.cla_activation)
+                mask = active[:, None]
+                new_states.append(ap.StreamState(
+                    num=jnp.where(mask, upd.num, st.num),
+                    den=jnp.where(mask, upd.den, st.den),
+                    m=jnp.where(mask, upd.m, st.m),
+                ))
+            return new_states
+
+        def finalize(states):
+            pooled = [ap.stream_finalize(st) for st in states]
+            if cfg.model.variant == "multi_level_attention":
+                return self.model.apply(self.variables, pooled,
+                                        method="finalize_multi_level")
+            return pooled[0]
+
+        self._batched_step = jax.jit(batched_step)
+        self._finalize = jax.jit(finalize)
+
+    # --- stream lifecycle ---
+    def open(self) -> int:
+        for sid in range(self.S):
+            if self._bufs[sid] is None:
+                self._bufs[sid] = np.zeros(0, np.float32)
+                self._reset_slot(sid)
+                return sid
+        raise RuntimeError(f"all {self.S} stream slots busy")
+
+    def close(self, sid: int):
+        self._check(sid)
+        self._bufs[sid] = None
+        self._fed[sid] = False
+
+    def _reset_slot(self, sid: int):
+        c = self.cfg.model.n_classes
+        blank = ap.init_stream_state((1, c))
+        self.states = [
+            ap.StreamState(
+                num=st.num.at[sid].set(blank.num[0]),
+                den=st.den.at[sid].set(blank.den[0]),
+                m=st.m.at[sid].set(blank.m[0]),
+            )
+            for st in self.states
+        ]
+        self._fed[sid] = False
+
+    def _check(self, sid: int):
+        if not 0 <= sid < self.S or self._bufs[sid] is None:
+            raise KeyError(f"stream {sid} is not open")
+
+    # --- data path ---
+    def feed(self, sid: int, samples: np.ndarray):
+        self._check(sid)
+        self._bufs[sid] = np.concatenate(
+            [self._bufs[sid], np.asarray(samples, np.float32)]
+        )
+
+    def pending(self, sid: int) -> int:
+        self._check(sid)
+        return len(self._bufs[sid])
+
+    def tick(self) -> int:
+        """Process one chunk for every stream that has one ready; returns the
+        number of streams advanced (0 = nothing ready, no device call)."""
+        active = np.array(
+            [b is not None and len(b) >= self.chunk_samples for b in self._bufs]
+        )
+        if not active.any():
+            return 0
+        wav = np.zeros((self.S, self.chunk_samples), np.float32)
+        for sid in range(self.S):
+            if active[sid]:
+                wav[sid] = self._bufs[sid][: self.chunk_samples]
+                self._bufs[sid] = self._bufs[sid][self.hop_samples :]
+        self.states = self._batched_step(
+            self.states, jnp.asarray(wav), jnp.asarray(active)
+        )
+        self._fed |= active
+        return int(active.sum())
+
+    def drain(self) -> int:
+        """tick() until no stream has a full chunk; returns total advanced."""
+        total = 0
+        while True:
+            n = self.tick()
+            if n == 0:
+                return total
+            total += n
+
+    def scores(self, sid: int) -> np.ndarray:
+        self._check(sid)
+        if not self._fed[sid]:
+            raise RuntimeError(f"stream {sid} has no processed audio yet")
+        return np.asarray(self._finalize(self.states))[sid]

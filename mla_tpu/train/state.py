@@ -94,7 +94,8 @@ def make_train_step(
     """(state, x, y) -> (state', loss). x is a waveform [B, n], feature
     sequence [B, T, D], or patch tensor [B, T, 96, 64] per ``input_kind``."""
     tx = make_optimizer(cfg)
-    has_bn = cfg.model.trunk in ("cnn",)  # CompactCNN default norm is BatchNorm
+    # CompactCNN-family trunks default to BatchNorm (mutable batch_stats)
+    has_bn = cfg.model.trunk in ("cnn", "cnn10", "cnn14")
 
     def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
         if input_kind == "waveform":

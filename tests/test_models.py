@@ -85,7 +85,7 @@ def test_all_variants_forward(rng, variant):
     assert (probs >= 0).all() and (probs <= 1).all()
 
 
-@pytest.mark.parametrize("trunk", ["cnn", "vggish"])
+@pytest.mark.parametrize("trunk", ["cnn", "vggish", "cnn10"])
 def test_trunk_forward_shapes(rng, trunk):
     cfg = ModelConfig(variant="single_attention", trunk=trunk, n_classes=10, n_blocks=1,
                       conv_channels=(8, 16), convs_per_stage=1, hidden_units=32,

@@ -1,0 +1,94 @@
+"""Batched multi-stream server tests: per-stream results equal the
+single-stream tagger, slot lifecycle, masked partial ticks."""
+
+import numpy as np
+import pytest
+
+from mla_tpu.config import Config, ModelConfig
+from mla_tpu.models.zoo import build_model
+from mla_tpu.serve.server import BatchedStreamingServer
+from mla_tpu.serve.streaming import StreamingTagger, _samples_per_patches
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = Config(
+        name="server_test",
+        model=ModelConfig(variant="multi_level_attention", trunk="cnn", n_classes=9,
+                          n_blocks=2, hidden_units=48, conv_channels=(8, 16),
+                          convs_per_stage=1, compute_dtype="float32"),
+    )
+    model = build_model(cfg.model)
+    from mla_tpu.ops.frontend import waveform_to_patches
+
+    wav = (np.random.default_rng(0).standard_normal(16000 * 40) * 0.1).astype(np.float32)
+    patches = waveform_to_patches(jnp.asarray(wav[: 16000 * 2])[None], cfg.frontend)
+    variables = model.init(jax.random.key(0), patches)
+    return cfg, variables, wav
+
+
+def test_multi_stream_matches_single_stream(setup):
+    cfg, variables, wav = setup
+    n = _samples_per_patches(cfg.frontend, 10)
+    streams = [wav[:n], wav[n : 2 * n], (wav[: n] * 0.5).astype(np.float32)]
+
+    srv = BatchedStreamingServer(cfg, variables, max_streams=4, chunk_patches=5)
+    sids = [srv.open() for _ in streams]
+    # interleave feeds in odd block sizes
+    offsets = [0] * len(streams)
+    block = 5000
+    while any(o < len(s) for o, s in zip(offsets, streams)):
+        for i, (sid, s) in enumerate(zip(sids, streams)):
+            if offsets[i] < len(s):
+                srv.feed(sid, s[offsets[i] : offsets[i] + block])
+                offsets[i] += block
+        srv.drain()
+
+    for sid, s in zip(sids, streams):
+        single = StreamingTagger(cfg, variables, chunk_patches=5)
+        single.feed(s)
+        np.testing.assert_allclose(srv.scores(sid), single.scores(), rtol=1e-4, atol=1e-5)
+
+
+def test_partial_tick_only_advances_ready_streams(setup):
+    cfg, variables, wav = setup
+    srv = BatchedStreamingServer(cfg, variables, max_streams=3, chunk_patches=5)
+    a, b = srv.open(), srv.open()
+    srv.feed(a, wav[: srv.chunk_samples])  # a ready, b not
+    assert srv.tick() == 1
+    assert srv.scores(a).shape == (9,)
+    with pytest.raises(RuntimeError, match="no processed audio"):
+        srv.scores(b)
+
+
+def test_slot_lifecycle(setup):
+    cfg, variables, wav = setup
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5)
+    a, b = srv.open(), srv.open()
+    with pytest.raises(RuntimeError, match="busy"):
+        srv.open()
+    srv.close(a)
+    c = srv.open()
+    assert c == a  # slot reused, state reset
+    with pytest.raises(KeyError):
+        srv.feed(99, wav[:100])
+    srv.feed(c, wav[: srv.chunk_samples])
+    srv.tick()
+    assert np.isfinite(srv.scores(c)).all()
+
+
+def test_closed_then_reopened_slot_state_is_fresh(setup):
+    cfg, variables, wav = setup
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5)
+    a = srv.open()
+    srv.feed(a, wav[: srv.chunk_samples])
+    srv.tick()
+    s1 = srv.scores(a).copy()
+    srv.close(a)
+    a2 = srv.open()
+    srv.feed(a2, wav[: srv.chunk_samples])
+    srv.tick()
+    np.testing.assert_allclose(srv.scores(a2), s1, rtol=1e-5)  # same audio -> same scores
