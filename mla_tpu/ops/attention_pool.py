@@ -109,9 +109,13 @@ def update_stream_state(
     if att_activation == "exp":
         chunk_m = jnp.max(gate_logits, axis=time_axis)
         new_m = jnp.maximum(state.m, chunk_m)
-        att = jnp.exp(gate_logits - jnp.expand_dims(new_m, time_axis))
+        # all-masked chunks (every gate logit -inf, e.g. a fully-padded time
+        # shard) give new_m = -inf; subtract 0 there so exp(-inf - 0) = 0
+        # instead of exp(-inf - -inf) = nan
+        safe_m = jnp.where(jnp.isfinite(new_m), new_m, 0.0)
+        att = jnp.exp(gate_logits - jnp.expand_dims(safe_m, time_axis))
         # rescale old accumulators into the new max's frame; exp(-inf-...) -> 0
-        scale = jnp.where(jnp.isfinite(state.m), jnp.exp(state.m - new_m), 0.0)
+        scale = jnp.where(jnp.isfinite(state.m), jnp.exp(state.m - safe_m), 0.0)
         return StreamState(
             num=state.num * scale + jnp.sum(att * f, axis=time_axis),
             den=state.den * scale + jnp.sum(att, axis=time_axis),
