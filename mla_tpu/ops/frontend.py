@@ -128,26 +128,38 @@ def frame_signal(x: jax.Array, window_length: int, hop_length: int) -> jax.Array
     return jnp.concatenate(pieces, axis=-1)
 
 
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+
 def stft_magnitude(
     x: jax.Array,
     window_length: int,
     hop_length: int,
     fft_size: int,
     method: str = "matmul",
+    precision: str = "highest",
 ) -> jax.Array:
-    """[..., num_frames, fft_size//2+1] magnitude spectrogram (Hann windowed)."""
+    """[..., num_frames, fft_size//2+1] magnitude spectrogram (Hann windowed).
+
+    precision="highest" (default): full-f32 DFT matmuls — XLA's default
+    matmul precision is bf16 on TPU (~1e-2 absolute error) and the parity
+    contract is ~1e-4 (SURVEY.md §4). "default" (bf16 passes) is ~6x cheaper
+    and fine for training-mode feature extraction.
+    """
     frames = frame_signal(x, window_length, hop_length)
     if method == "fft":
         win = jnp.asarray(periodic_hann(window_length))
         spec = jnp.fft.rfft(frames * win, n=fft_size, axis=-1)
         return jnp.abs(spec).astype(frames.dtype)
     elif method == "matmul":
-        # precision=HIGHEST: XLA's default matmul precision is bf16 on TPU,
-        # which costs ~1e-2 absolute error — the front-end parity contract is
-        # ~1e-4 (SURVEY.md §4), so these matmuls must run in full f32.
+        prec = _PRECISIONS[precision]
         cos_b, sin_b = dft_bases(window_length, fft_size)
-        re = jnp.dot(frames, jnp.asarray(cos_b), precision=jax.lax.Precision.HIGHEST)
-        im = jnp.dot(frames, jnp.asarray(sin_b), precision=jax.lax.Precision.HIGHEST)
+        re = jnp.dot(frames, jnp.asarray(cos_b), precision=prec)
+        im = jnp.dot(frames, jnp.asarray(sin_b), precision=prec)
         return jnp.sqrt(re * re + im * im)
     raise ValueError(f"unknown stft method {method!r}")
 
@@ -156,7 +168,9 @@ def log_mel_spectrogram(
     x: jax.Array, cfg: FrontendConfig = FrontendConfig(), method: str = "matmul"
 ) -> jax.Array:
     """Waveform [..., n] -> log-mel [..., num_frames, num_mel_bins]."""
-    mag = stft_magnitude(x, cfg.window_length, cfg.hop_length, cfg.fft_size, method)
+    mag = stft_magnitude(
+        x, cfg.window_length, cfg.hop_length, cfg.fft_size, method, cfg.precision
+    )
     mel_w = jnp.asarray(
         mel_filterbank(
             cfg.num_mel_bins,
@@ -166,7 +180,7 @@ def log_mel_spectrogram(
             cfg.mel_max_hz,
         )
     )
-    return jnp.log(jnp.dot(mag, mel_w, precision=jax.lax.Precision.HIGHEST) + cfg.log_offset)
+    return jnp.log(jnp.dot(mag, mel_w, precision=_PRECISIONS[cfg.precision]) + cfg.log_offset)
 
 
 def waveform_to_patches(

@@ -9,6 +9,7 @@ round-trips", SURVEY.md §7 stage 6).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Optional, Tuple
 
 import flax.struct
@@ -96,10 +97,18 @@ def make_train_step(
     tx = make_optimizer(cfg)
     # CompactCNN-family trunks default to BatchNorm (mutable batch_stats)
     has_bn = cfg.model.trunk in ("cnn", "cnn10", "cnn14")
+    train_cfg = cfg
+    if cfg.train.frontend_precision is not None:
+        train_cfg = dataclasses.replace(
+            cfg,
+            frontend=dataclasses.replace(
+                cfg.frontend, precision=cfg.train.frontend_precision
+            ),
+        )
 
     def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
         if input_kind == "waveform":
-            x_in = _apply_frontend(cfg, x)
+            x_in = _apply_frontend(train_cfg, x)
         else:
             x_in = x
         rng = jax.random.fold_in(state.dropout_key, state.step)
