@@ -127,6 +127,10 @@ class DataConfig:
     clip_seconds: float = 10.0
     balanced_sampling: bool = True
     quantized_uint8: bool = False  # upstream packs 8-bit quantized embeddings
+    # input pipeline: "numpy" = reference-faithful stateful BalancedSampler;
+    # "grain" = stateless Grain stream (T9 scale path: prefetch, shardable)
+    pipeline: str = "numpy"
+    grain_workers: int = 0  # >0 enables grain multiprocess prefetch
 
 
 @dataclass(frozen=True)

@@ -132,9 +132,10 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         out_shardings=pmesh.replicated(mesh),
     )
 
+    use_grain = cfg.data.pipeline == "grain"
     sampler = (
         BalancedSampler(train_ds.y, bs, cfg.train.seed)
-        if cfg.data.balanced_sampling
+        if cfg.data.balanced_sampling and not use_grain
         else None
     )
     ckpt = CheckpointManager(
@@ -154,12 +155,26 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         start_step = int(state.step)
         say(f"auto-resumed from checkpoint at step {start_step}")
 
+    grain_it = None
+    if use_grain:
+        from mla_tpu.data.pipeline import make_train_iterator
+
+        # the grain stream is a pure function of (seed, position): resuming
+        # is just starting the stream at batch index start_step (T9)
+        grain_it = make_train_iterator(
+            train_ds, bs, cfg.train.seed, cfg.data.grain_workers, start_index=start_step
+        )
+
     t_last = time.perf_counter()
     clips_done = 0
     for step_i in range(start_step, cfg.train.num_steps):
-        idx = sampler.next_batch() if sampler else rng.integers(0, len(train_ds.x), bs)
-        x = pmesh.shard_batch(train_ds.x[idx], mesh)
-        y = pmesh.shard_batch(train_ds.y[idx], mesh)
+        if grain_it is not None:
+            bx, by = next(grain_it)
+        else:
+            idx = sampler.next_batch() if sampler else rng.integers(0, len(train_ds.x), bs)
+            bx, by = train_ds.x[idx], train_ds.y[idx]
+        x = pmesh.shard_batch(bx, mesh)
+        y = pmesh.shard_batch(np.asarray(by, np.float32), mesh)
         state, loss = train_step(state, x, y)
         clips_done += bs
         if (step_i + 1) % cfg.train.log_every == 0 or step_i == 0:
@@ -178,7 +193,13 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             writer.write(step_i + 1, {k: v for k, v in stats.items() if k != "step"})
             say(f"eval @ {step_i + 1}: " + " ".join(f"{k}={v:.4f}" for k, v in stats.items()))
         if (step_i + 1) % cfg.train.checkpoint_every == 0 or step_i + 1 == cfg.train.num_steps:
-            ckpt.save(step_i + 1, state, sampler.state_dict() if sampler else None)
+            if sampler is not None:
+                samp_st = sampler.state_dict()
+            elif use_grain:  # stateless: position == training step
+                samp_st = {"pipeline": "grain", "seed": cfg.train.seed, "step": step_i + 1}
+            else:
+                samp_st = None
+            ckpt.save(step_i + 1, state, samp_st)
 
     ckpt.wait()
     writer.close()

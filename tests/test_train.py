@@ -83,6 +83,31 @@ def test_fit_dp8_matches_dp1_losses(tmp_path):
     np.testing.assert_allclose(l1, l8, rtol=2e-4, atol=1e-5)
 
 
+def test_fit_with_grain_pipeline(tmp_path):
+    """T9 as the training input path: grain stream drives fit; resume is
+    deterministic (stateless stream restarts at the step index)."""
+    cfg = _tiny_cfg(tmp_path, variant="single_attention", trunk="none", steps=20)
+    cfg = dataclasses.replace(cfg, data=dataclasses.replace(cfg.data, pipeline="grain"))
+    res = fit(cfg, log=False)
+    losses = [h["loss"] for h in res.history]
+    assert losses[-1] < losses[0]
+    # interrupted at 10 + resumed == uninterrupted 20
+    cfg10 = dataclasses.replace(
+        cfg, workspace=str(tmp_path / "g10"),
+        train=dataclasses.replace(cfg.train, num_steps=10, checkpoint_every=10),
+    )
+    fit(cfg10, log=False)
+    cfg20 = dataclasses.replace(cfg10, train=dataclasses.replace(cfg10.train, num_steps=20))
+    resumed = fit(cfg20, log=False, auto_resume=True)
+    import jax
+
+    same = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        resumed.state.params, res.state.params,
+    )
+    assert all(jax.tree.leaves(same))
+
+
 def test_batch_size_must_divide_dp(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, batch_size=9,
