@@ -15,9 +15,19 @@ materializes a [B, 960, 400] frame tensor (~1.5 MB/clip) plus a [B, 960,
 257] spectrogram in HBM; here HBM traffic is waveform in + patches out.
 
 Numerics: frame construction is exact; matmul precision is configurable —
-HIGHEST (6-pass, bit-comparable to the f32 oracle ~1e-4) or HIGH (3-pass,
-~1e-3, ~2x faster). Compute dtype is f32 throughout; magnitudes are small
+HIGHEST (bit-comparable to the f32 oracle ~1e-4) or DEFAULT (bf16 passes,
+~4e-2, faster). Compute dtype is f32 throughout; magnitudes are small
 and log-compressed, bf16 storage would eat the parity budget.
+
+Performance status (measured 2026-08-16 on the v5e chip): correct and
+fused, but the XLA fallback is ~4x faster at HIGHEST precision (9.7 vs
+42 ms / 256 ten-second clips). Isolated micro-benchmarks show the gap is
+the Mosaic-compiled f32-HIGHEST matmul itself (~10% of the throughput
+XLA's f32-HIGHEST GEMMs reach on the same shapes in this toolchain), not
+the kernel structure — a globally-tiled single-GEMM restructuring of this
+kernel measured identically. Until Mosaic's f32 GEMM closes that gap,
+``FrontendConfig.impl`` defaults to "xla"; the kernel remains the fused
+single-program formulation (BASELINE.json:5) and is parity-gated in CI.
 """
 
 from __future__ import annotations
