@@ -161,6 +161,11 @@ class TrainConfig:
     # frontend.precision). "default" (bf16) is ~6x cheaper and training is
     # robust to the ~1e-2 log-mel error; eval/inference keep full parity.
     frontend_precision: Optional[str] = None
+    # SpecAugment-style masking on log-mel patches during training (train
+    # step only; waveform/patch inputs — no-op for the features protocol)
+    spec_augment: bool = False
+    time_mask_width: int = 24
+    freq_mask_width: int = 12
 
 
 @dataclass(frozen=True)

@@ -112,6 +112,14 @@ def make_train_step(
         else:
             x_in = x
         rng = jax.random.fold_in(state.dropout_key, state.step)
+        if cfg.train.spec_augment and input_kind in ("waveform", "patches"):
+            from mla_tpu.ops.augment import spec_augment
+
+            x_in = spec_augment(
+                x_in, jax.random.fold_in(rng, 1),
+                time_mask_width=cfg.train.time_mask_width,
+                freq_mask_width=cfg.train.freq_mask_width,
+            )
 
         def loss_fn(params):
             variables = {"params": params}
