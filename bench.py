@@ -14,9 +14,14 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# the CPU-reference oracle lives under tests/; make the import cwd-proof
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = 128
 SECONDS = 10

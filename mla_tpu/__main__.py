@@ -122,6 +122,35 @@ def cmd_eval(args):
     print(json.dumps(stats))
 
 
+def cmd_embed(args):
+    """Extract segment embeddings (the VGGish-embedding service use-case):
+    wav -> [T, embed_dim] .npy via the configured trunk."""
+    cfg = _load_cfg(args)
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.data import audio_io
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops import frontend as fe
+
+    wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
+    patches = fe.apply_frontend(jnp.asarray(wav)[None], cfg.frontend)
+    model = build_model(cfg.model)
+    if args.checkpoint == "random":
+        variables = model.init(jax.random.key(0), patches)
+    else:
+        from mla_tpu.train.loop import resume
+
+        state, _ = resume(cfg, args.workspace)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+    emb = model.apply(variables, patches, method="embed")[0]
+    emb = np.asarray(emb.astype("float32"))  # bf16 isn't a numpy dtype
+    np.save(args.out, emb)
+    print(f"{args.wav}: embeddings {emb.shape} -> {args.out}")
+
+
 def cmd_infer(args):
     cfg = _load_cfg(args)
     import jax
@@ -201,6 +230,15 @@ def main(argv=None):
                     help="write per-class AP/AUC/d' CSV to this path")
     sv.add_argument("--set", nargs="*")
     sv.set_defaults(fn=cmd_eval)
+
+    se2 = sub.add_parser("embed", help="wav -> segment embeddings .npy")
+    se2.add_argument("--config", default="streaming_inference")
+    se2.add_argument("--wav", required=True)
+    se2.add_argument("--out", required=True)
+    se2.add_argument("--workspace", default=None)
+    se2.add_argument("--checkpoint", default="random")
+    se2.add_argument("--set", nargs="*")
+    se2.set_defaults(fn=cmd_embed)
 
     si = sub.add_parser("infer", help="tag a wav file")
     si.add_argument("--config", default="streaming_inference")

@@ -166,6 +166,8 @@ class TrainConfig:
     spec_augment: bool = False
     time_mask_width: int = 24
     freq_mask_width: int = 12
+    # mixup over the batch (any input kind); 0 = off
+    mixup_alpha: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -79,7 +79,9 @@ class BalancedSampler:
 
     def load_state_dict(self, state: Dict[str, int]):
         """Deterministic resume by replay: rebuild RNG stream from seed and
-        fast-forward `step` batches (cheap: index arithmetic only)."""
+        fast-forward `step` batches (index arithmetic only — O(step *
+        batch_size) host work; for very long runs prefer the stateless
+        Grain stream, data.pipeline="grain", which resumes in O(1))."""
         self.seed = int(state["seed"])
         self._reset()
         for _ in range(int(state["step"])):

@@ -59,3 +59,26 @@ def spec_augment(
     keys = jax.random.split(key, b)
     out = jax.vmap(one_clip)(patches, keys)
     return out[:, 0] if squeeze else out
+
+
+def mixup(
+    x: jax.Array,
+    y: jax.Array,
+    key: jax.Array,
+    alpha: float = 0.5,
+):
+    """Mixup over the batch axis (Zhang et al. 2018; standard in the PANNs
+    lineage): convex-combine each example with a shuffled partner using a
+    Beta(alpha, alpha) weight. Works on any feature rank (waveform,
+    patches, or bottleneck features). Returns (x_mixed, y_mixed)."""
+    kperm, klam = jax.random.split(key)
+    b = x.shape[0]
+    perm = jax.random.permutation(kperm, b)
+    lam = jax.random.beta(klam, alpha, alpha, (b,))
+    lam = jnp.maximum(lam, 1.0 - lam)  # keep the original example dominant
+    lam_x = lam.reshape((b,) + (1,) * (x.ndim - 1)).astype(x.dtype)
+    lam_y = lam.reshape((b, 1)).astype(y.dtype)
+    return (
+        lam_x * x + (1 - lam_x) * x[perm],
+        lam_y * y + (1 - lam_y) * y[perm],
+    )

@@ -112,6 +112,10 @@ def make_train_step(
         else:
             x_in = x
         rng = jax.random.fold_in(state.dropout_key, state.step)
+        if cfg.train.mixup_alpha > 0:
+            from mla_tpu.ops.augment import mixup
+
+            x_in, y = mixup(x_in, y, jax.random.fold_in(rng, 2), cfg.train.mixup_alpha)
         if cfg.train.spec_augment and input_kind in ("waveform", "patches"):
             from mla_tpu.ops.augment import spec_augment
 

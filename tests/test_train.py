@@ -83,6 +83,22 @@ def test_fit_dp8_matches_dp1_losses(tmp_path):
     np.testing.assert_allclose(l1, l8, rtol=2e-4, atol=1e-5)
 
 
+def test_fit_waveform_pallas_frontend(tmp_path):
+    """us8k-config path: fused Pallas front-end (interpret mode on CPU)
+    inside the jitted train step."""
+    cfg = _tiny_cfg(tmp_path, variant="single_attention", trunk="cnn", steps=4)
+    cfg = dataclasses.replace(
+        cfg,
+        frontend=dataclasses.replace(cfg.frontend, impl="pallas"),
+        data=dataclasses.replace(cfg.data, n_train_clips=16, n_eval_clips=8,
+                                 clip_seconds=2.0),
+        train=dataclasses.replace(cfg.train, batch_size=4, num_steps=4, eval_every=4,
+                                  checkpoint_every=4, log_every=2),
+    )
+    res = fit(cfg, log=False)
+    assert np.isfinite(res.history[-1]["loss"])
+
+
 def test_fit_with_grain_pipeline(tmp_path):
     """T9 as the training input path: grain stream drives fit; resume is
     deterministic (stateless stream restarts at the step index)."""
