@@ -55,7 +55,9 @@ def _tpu_throughput(cfg):
     # combine + a single scalar fetch.
     combine = jax.jit(lambda xs: jnp.sum(jnp.stack([jnp.sum(x) for x in xs])))
     np.asarray(forward(variables, wav))  # compile + warmup
-    np.asarray(combine([forward(variables, wav) for _ in range(2)]))
+    # warm with the SAME list length: combine specializes on it, and a
+    # 2-element warmup would leave the N-element compile inside the timing
+    np.asarray(combine([forward(variables, wav) for _ in range(N_ITERS)]))
     t0 = time.perf_counter()
     np.asarray(combine([forward(variables, wav) for _ in range(N_ITERS)]))
     dt = time.perf_counter() - t0

@@ -50,7 +50,8 @@ def main():
     ]:
         f = jax.jit(lambda w: jnp.sum(fe(w)))
         np.asarray(f(wav))  # compile + warmup
-        np.asarray(combine([f(wav) for _ in range(2)]))  # compile combine
+        # warm with the SAME list length (combine specializes per length)
+        np.asarray(combine([f(wav) for _ in range(ITERS)]))
         t0 = time.perf_counter()
         # K dispatches, ONE host fetch: avoids the per-fetch tunnel RTT floor
         np.asarray(combine([f(wav) for _ in range(ITERS)]))

@@ -19,15 +19,15 @@ HIGHEST (bit-comparable to the f32 oracle ~1e-4) or DEFAULT (bf16 passes,
 ~4e-2, faster). Compute dtype is f32 throughout; magnitudes are small
 and log-compressed, bf16 storage would eat the parity budget.
 
-Performance status (measured 2026-08-16 on the v5e chip): correct and
-fused, but the XLA fallback is ~4x faster at HIGHEST precision (9.7 vs
-42 ms / 256 ten-second clips). Isolated micro-benchmarks show the gap is
-the Mosaic-compiled f32-HIGHEST matmul itself (~10% of the throughput
-XLA's f32-HIGHEST GEMMs reach on the same shapes in this toolchain), not
-the kernel structure — a globally-tiled single-GEMM restructuring of this
-kernel measured identically. Until Mosaic's f32 GEMM closes that gap,
-``FrontendConfig.impl`` defaults to "xla"; the kernel remains the fused
-single-program formulation (BASELINE.json:5) and is parity-gated in CI.
+Performance status (measured 2026-08-16 on the v5e chip, compile-free
+timing): correct and fused; the XLA fallback is ~1.5x faster at HIGHEST
+precision (9.4 vs 14.1 ms / 256 ten-second clips; 18 vs 27 k clips/s) —
+XLA's single K=512 GEMM pipelines the MXU better than this kernel's three
+K=160 block-GEMMs (Mosaic rejects the reshape/concat needed to build the
+[F, window] frame matrix in-kernel, so the block decomposition is forced).
+``FrontendConfig.impl`` therefore defaults to "xla"; the kernel remains
+the fused single-program formulation (BASELINE.json:5), is parity-gated in
+CI, and is the training front-end of the us8k milestone config.
 """
 
 from __future__ import annotations

@@ -62,7 +62,9 @@ def time_fn(
         reduce_all = jax.jit(
             lambda xs: jnp.sum(jnp.stack([jnp.sum(jax.tree.leaves(x)[0]) for x in xs]))
         )
-        sync(reduce_all([fn(*args) for _ in range(2)]))  # compile the reducer
+        # warm with the SAME list length — the reducer specializes on it, and
+        # a shorter warmup would leave its compile inside the timed region
+        sync(reduce_all([fn(*args) for _ in range(iters)]))
         t0 = time.perf_counter()
         sync(reduce_all([fn(*args) for _ in range(iters)]))
         total = time.perf_counter() - t0
