@@ -136,15 +136,20 @@ def cmd_embed(args):
     wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
     patches = fe.apply_frontend(jnp.asarray(wav)[None], cfg.frontend)
     model = build_model(cfg.model)
-    if args.checkpoint == "random":
-        variables = model.init(jax.random.key(0), patches)
-    else:
-        from mla_tpu.train.loop import resume
+    variables = None
+    if args.checkpoint != "random":
+        try:
+            from mla_tpu.train.loop import resume
 
-        state, _ = resume(cfg, args.workspace)
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+            state, _ = resume(cfg, args.workspace)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+        except FileNotFoundError:
+            print("# no checkpoint found — using random weights (demo mode)",
+                  file=sys.stderr)
+    if variables is None:
+        variables = model.init(jax.random.key(0), patches)
     emb = model.apply(variables, patches, method="embed")[0]
     emb = np.asarray(emb.astype("float32"))  # bf16 isn't a numpy dtype
     np.save(args.out, emb)
@@ -160,21 +165,25 @@ def cmd_infer(args):
     from mla_tpu.serve.streaming import StreamingTagger, tag_clip
 
     wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
-    if args.checkpoint == "random":
-        # demo mode: random weights (no trained checkpoint required)
+    variables = None
+    if args.checkpoint != "random":  # "latest" (default) or explicit step
+        try:
+            from mla_tpu.train.loop import resume
+
+            state, _ = resume(cfg, args.workspace)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+        except FileNotFoundError:
+            print("# no checkpoint found — using random weights (demo mode)",
+                  file=sys.stderr)
+    if variables is None:
         from mla_tpu.ops import frontend as fe
         import jax.numpy as jnp
 
         model = build_model(cfg.model)
-        patches = fe.waveform_to_patches(jnp.asarray(wav[: 16000 * 10])[None], cfg.frontend)
+        patches = fe.apply_frontend(jnp.asarray(wav[: 16000 * 10])[None], cfg.frontend)
         variables = model.init(jax.random.key(0), patches)
-    else:
-        from mla_tpu.train.loop import resume
-
-        state, _ = resume(cfg, args.workspace)
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
     if args.stream:
         tagger = StreamingTagger(cfg, variables)
         block = cfg.frontend.sample_rate  # feed 1 s at a time
@@ -236,7 +245,8 @@ def main(argv=None):
     se2.add_argument("--wav", required=True)
     se2.add_argument("--out", required=True)
     se2.add_argument("--workspace", default=None)
-    se2.add_argument("--checkpoint", default="random")
+    se2.add_argument("--checkpoint", default="latest",
+                     help="'latest' or 'random' (demo fallback if no checkpoint)")
     se2.add_argument("--set", nargs="*")
     se2.set_defaults(fn=cmd_embed)
 
@@ -244,8 +254,9 @@ def main(argv=None):
     si.add_argument("--config", default="streaming_inference")
     si.add_argument("--wav", required=True)
     si.add_argument("--workspace", default=None)
-    si.add_argument("--checkpoint", default="random",
-                    help="'random' for demo weights, else use latest checkpoint")
+    si.add_argument("--checkpoint", default="latest",
+                    help="'latest' uses the newest checkpoint (random-weight demo "
+                         "fallback if none exists); 'random' forces demo weights")
     si.add_argument("--stream", action="store_true", help="chunked streaming path")
     si.add_argument("--top_k", type=int, default=5)
     si.add_argument("--labels_csv", default=None,

@@ -27,12 +27,16 @@ class CheckpointManager:
         )
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: TrainState, sampler_state: Optional[Dict] = None):
+    def save(self, step: int, state: TrainState, sampler_state: Optional[Dict] = None,
+             config: Optional[Dict] = None):
         composite = dict(
             state=ocp.args.StandardSave(state),
         )
         if sampler_state is not None:
             composite["sampler"] = ocp.args.JsonSave(sampler_state)
+        if config is not None:
+            # provenance: the full config tree rides along with the weights
+            composite["config"] = ocp.args.JsonSave(config)
         self._mgr.save(step, args=ocp.args.Composite(**composite))
 
     def restore(

@@ -199,7 +199,9 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
                 samp_st = {"pipeline": "grain", "seed": cfg.train.seed, "step": step_i + 1}
             else:
                 samp_st = None
-            ckpt.save(step_i + 1, state, samp_st)
+            import dataclasses as _dc
+
+            ckpt.save(step_i + 1, state, samp_st, config=_dc.asdict(cfg))
 
     ckpt.wait()
     writer.close()
