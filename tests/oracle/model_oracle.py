@@ -70,6 +70,21 @@ def single_attention_forward(params, x, n_blocks, layers_per_block,
     return attention_module(params["att"], h, att_activation, cla_activation).numpy()
 
 
+def multi_attention_forward(params, x, n_blocks, layers_per_block, n_heads,
+                            att_activation="exp", cla_activation="sigmoid"):
+    """C8 'multi attention': several heads on the LAST hidden layer,
+    concatenated, FC + sigmoid."""
+    h = torch.from_numpy(np.asarray(x, dtype=np.float32))
+    for i in range(n_blocks):
+        h = embedded_block(params[f"block{i}"], h, layers_per_block)
+    zs = [
+        attention_module(params["mh"][f"att{i}"], h, att_activation, cla_activation)
+        for i in range(n_heads)
+    ]
+    out = _dense(params["mh"]["out"])(torch.cat(zs, dim=-1))
+    return torch.sigmoid(out).numpy()
+
+
 def avg_max_pool_forward(params, x, n_blocks, layers_per_block, mode="avg"):
     h = torch.from_numpy(np.asarray(x, dtype=np.float32))
     for i in range(n_blocks):

@@ -48,6 +48,20 @@ def test_single_attention_matches_torch_oracle(rng):
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_multi_attention_matches_torch_oracle(rng):
+    cfg = _f32(ModelConfig(variant="multi_attention", trunk="none", n_classes=9,
+                           n_blocks=2, layers_per_block=1, hidden_units=32,
+                           n_attention_heads=3))
+    x = rng.standard_normal((3, 10, 128)).astype(np.float32)
+    model, params = _init(cfg, jnp.asarray(x))
+    ours = np.asarray(model.apply(params, jnp.asarray(x)))
+    ref = oracle.multi_attention_forward(
+        jax.tree.map(np.asarray, params["params"]), x, cfg.n_blocks,
+        cfg.layers_per_block, cfg.n_attention_heads,
+    )
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("mode", ["avg", "max"])
 def test_pool_variants_match_torch_oracle(rng, mode):
     cfg = _f32(ModelConfig(variant=f"{mode}_pool", trunk="none", n_classes=11,
