@@ -20,6 +20,22 @@ import sys
 import numpy as np
 
 
+def _jdump(obj) -> str:
+    """Strict-JSON dumps: non-finite floats (e.g. d' = inf at AUC 1.0)
+    become strings so downstream parsers don't choke on 'Infinity'."""
+
+    def clean(v):
+        if isinstance(v, float) and not np.isfinite(v):
+            return str(v)
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [clean(x) for x in v]
+        return v
+
+    return json.dumps(clean(obj))
+
+
 def _parse_sets(pairs):
     out = {}
     for p in pairs or []:
@@ -80,7 +96,7 @@ def cmd_train(args):
 
     result = fit(cfg, workspace=args.workspace, auto_resume=args.resume)
     last_eval = result.eval_stats[-1] if result.eval_stats else {}
-    print(json.dumps({"final_loss": result.history[-1]["loss"] if result.history else None,
+    print(_jdump({"final_loss": result.history[-1]["loss"] if result.history else None,
                       **{k: v for k, v in last_eval.items()}}))
 
 
@@ -119,7 +135,7 @@ def cmd_eval(args):
             args.per_class, np.concatenate(outs), eval_ds.y,
             labels_for(cfg.data.dataset, cfg.model.n_classes),
         )
-    print(json.dumps(stats))
+    print(_jdump(stats))
 
 
 def cmd_embed(args):
@@ -197,7 +213,7 @@ def cmd_infer(args):
 
     names = labels_for(cfg.data.dataset, cfg.model.n_classes, args.labels_csv)
     top = np.argsort(-scores)[: args.top_k]
-    print(json.dumps({"top_k": [[names[i], float(scores[i])] for i in top]}))
+    print(_jdump({"top_k": [[names[i], float(scores[i])] for i in top]}))
 
 
 def main(argv=None):
