@@ -2,13 +2,17 @@
 §2.1; public API mirrors the reference verbs per BASELINE.json:5: dataset
 prep, feature extraction, train, eval, inference).
 
-    python -m mla_tpu prep     --config=... --out=pack.h5
+    python -m mla_tpu prep     --config=... --out=pack.h5 [--tfrecords=glob]
     python -m mla_tpu extract  --wav=a.wav --out=patches.npy
+    python -m mla_tpu embed    --wav=a.wav --out=emb.npy
     python -m mla_tpu train    --config=esc50_single_attention [--set k=v ...]
-    python -m mla_tpu eval     --config=... (calculate_stats on the eval set)
+    python -m mla_tpu eval     --config=... [--per_class=out.csv]
     python -m mla_tpu infer    --config=... --wav=a.wav [--stream]
-    python -m mla_tpu bench    --config=... (single-chip throughput)
+    python -m mla_tpu parity   (reference-parity harness, T12)
     python -m mla_tpu configs
+
+(single-chip throughput benchmarks live at the repo root: bench.py,
+bench_frontend.py)
 """
 
 from __future__ import annotations
