@@ -41,13 +41,17 @@ def _per_class_tables(y: np.ndarray):
     return table, counts
 
 
-def balanced_index_dataset(y: np.ndarray, seed: int = 0) -> grain.MapDataset:
+def balanced_index_dataset(
+    y: np.ndarray, seed: int = 0, start_position: int = 0
+) -> grain.MapDataset:
     """Infinite MapDataset of clip indices, class-balanced.
 
     Position p deterministically maps to: class = row p of a seeded
     per-epoch permutation over valid classes; clip = a seeded draw from
     that class's clip list (counter-based RNG: fold (seed, p) -> draw).
-    Stateless => resumable from any position and shardable across hosts by
+    Stateless => resumable from ANY position in O(1) (``start_position``
+    simply begins the counter there — the stream content at position p is
+    independent of where iteration started) and shardable across hosts by
     ``ds[shard::num_shards]`` slicing.
     """
     table, counts = _per_class_tables(y)
@@ -60,7 +64,7 @@ def balanced_index_dataset(y: np.ndarray, seed: int = 0) -> grain.MapDataset:
         draw = int(np.random.default_rng((seed, 2, p)).integers(0, counts[row]))
         return int(table[row, draw])
 
-    return grain.MapDataset.range(0, 2**62).map(index_at)
+    return grain.MapDataset.range(start_position, 2**62).map(index_at)
 
 
 def make_train_iterator(
@@ -74,20 +78,22 @@ def make_train_iterator(
 
     workers > 0 enables grain multiprocess prefetch (useful once decode is
     real IO; synthetic in-RAM data doesn't need it).
+
+    ``start_index`` (in batches) resumes in O(1): the balanced stream is a
+    pure function of absolute position, so resuming batch k just starts the
+    position counter at k*batch_size — no skip loop, no iterator state
+    (round-1 VERDICT item 5).
     """
     x_arr, y_arr = ds.x, ds.y
     pipeline = (
-        balanced_index_dataset(y_arr, seed)
+        balanced_index_dataset(y_arr, seed, start_position=start_index * batch_size)
         .map(lambda i: {"x": x_arr[i], "y": y_arr[i]})
         .batch(batch_size)
     )
     it = pipeline.to_iter_dataset()
     if workers:
         it = it.mp_prefetch(grain.MultiprocessingOptions(num_workers=workers))
-    iterator = iter(it)
-    for _ in range(start_index):  # cheap resume-by-skip for small offsets
-        next(iterator)
-    for rec in iterator:
+    for rec in it:
         yield rec["x"], rec["y"]
 
 

@@ -47,13 +47,27 @@ class CheckpointManager:
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract_state),
-                sampler=ocp.args.JsonRestore(),
-            ),
-        )
+        # Only request items the checkpoint actually contains — a checkpoint
+        # saved with sampler_state=None has no "sampler" item and Orbax
+        # raises KeyError when one is demanded (ADVICE.md round 1, medium).
+        items: Dict[str, Any] = {"state": ocp.args.StandardRestore(abstract_state)}
+        try:
+            # item_metadata warns (absl) about items it can't type without
+            # handlers; we only need the NAMES, so hush it for the probe
+            import logging as _logging
+
+            _absl = _logging.getLogger("absl")
+            _prev = _absl.level
+            _absl.setLevel(_logging.ERROR)
+            try:
+                present = set(self._mgr.item_metadata(step).keys())
+            finally:
+                _absl.setLevel(_prev)
+        except Exception:  # older layouts: fall back to optimistic request
+            present = {"state", "sampler"}
+        if "sampler" in present:
+            items["sampler"] = ocp.args.JsonRestore()
+        restored = self._mgr.restore(step, args=ocp.args.Composite(**items))
         return restored["state"], restored.get("sampler")
 
     def latest_step(self) -> Optional[int]:

@@ -152,6 +152,11 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         state = jax.device_put(state, st_shardings)
         if sampler is not None and sampler_st:
             sampler.load_state_dict(sampler_st)
+        elif sampler_st and sampler_st.get("pipeline") == "random":
+            # plain-random path: put the host RNG back where it left off so
+            # a resumed run continues the batch-draw stream instead of
+            # replaying it from the seed (ADVICE.md round 1)
+            rng.bit_generator.state = sampler_st["rng_state"]
         start_step = int(state.step)
         say(f"auto-resumed from checkpoint at step {start_step}")
 
@@ -193,12 +198,18 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             writer.write(step_i + 1, {k: v for k, v in stats.items() if k != "step"})
             say(f"eval @ {step_i + 1}: " + " ".join(f"{k}={v:.4f}" for k, v in stats.items()))
         if (step_i + 1) % cfg.train.checkpoint_every == 0 or step_i + 1 == cfg.train.num_steps:
+            # every input path saves a sampler dict, so restore never has to
+            # guess whether the item exists (ADVICE.md round 1, medium)
             if sampler is not None:
                 samp_st = sampler.state_dict()
             elif use_grain:  # stateless: position == training step
                 samp_st = {"pipeline": "grain", "seed": cfg.train.seed, "step": step_i + 1}
-            else:
-                samp_st = None
+            else:  # plain-random draws: persist the bit-generator state
+                samp_st = {
+                    "pipeline": "random",
+                    "step": step_i + 1,
+                    "rng_state": rng.bit_generator.state,
+                }
             import dataclasses as _dc
 
             ckpt.save(step_i + 1, state, samp_st, config=_dc.asdict(cfg))

@@ -124,6 +124,55 @@ def test_fit_with_grain_pipeline(tmp_path):
     assert all(jax.tree.leaves(same))
 
 
+def test_restore_checkpoint_without_sampler_item(tmp_path):
+    """A checkpoint saved with sampler_state=None must still restore
+    (ADVICE.md round 1, medium: Orbax raised KeyError for the absent item)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.train.checkpoint import CheckpointManager
+    from mla_tpu.train.state import create_train_state
+
+    cfg = _tiny_cfg(tmp_path, trunk="none", steps=1)
+    model = build_model(cfg.model)
+    state = create_train_state(cfg, model, jnp.zeros((2, 10, 128), jnp.float32))
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=False)
+    mgr.save(1, state, sampler_state=None)
+    mgr.wait()
+    abstract = jax.eval_shape(lambda: state)
+    restored, sampler_st = mgr.restore(abstract)
+    assert sampler_st is None
+    assert int(restored.step) == int(state.step)
+    mgr.close()
+
+
+def test_fit_random_sampling_resume_matches_uninterrupted(tmp_path):
+    """balanced_sampling=False path: the host rng's bit-generator state is
+    checkpointed, so interrupted+resumed == uninterrupted (ADVICE.md r1)."""
+    import jax
+
+    base = _tiny_cfg(tmp_path / "full", variant="single_attention", trunk="none", steps=20)
+    base = dataclasses.replace(
+        base,
+        data=dataclasses.replace(base.data, balanced_sampling=False),
+        train=dataclasses.replace(base.train, checkpoint_every=10, eval_every=100),
+    )
+    full = fit(base, log=False)
+    cfg10 = dataclasses.replace(
+        base, workspace=str(tmp_path / "resumed"),
+        train=dataclasses.replace(base.train, num_steps=10),
+    )
+    fit(cfg10, log=False)
+    cfg20 = dataclasses.replace(cfg10, train=dataclasses.replace(cfg10.train, num_steps=20))
+    resumed = fit(cfg20, log=False, auto_resume=True)
+    same = jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        resumed.state.params, full.state.params,
+    )
+    assert all(jax.tree.leaves(same))
+
+
 def test_batch_size_must_divide_dp(tmp_path):
     cfg = _tiny_cfg(tmp_path)
     cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, batch_size=9,
