@@ -93,7 +93,12 @@ class DecisionLevelPool(nn.Module):
 
 class MultiHeadAttentionPool(nn.Module):
     """'Multi attention' baseline (C8): several attention modules on the SAME
-    (last) hidden layer, concatenated, FC -> sigmoid."""
+    (last) hidden layer, concatenated, FC -> sigmoid.
+
+    setup-style (not compact) so the streaming path (T11) can reuse the same
+    projections: ``logits`` exposes per-head (gate, cla) for chunked
+    accumulation and ``finalize`` applies the concat+FC tail — whole-clip and
+    streamed scores are then the same function of the same parameters."""
 
     n_classes: int
     n_heads: int = 4
@@ -101,13 +106,26 @@ class MultiHeadAttentionPool(nn.Module):
     cla_activation: str = "sigmoid"
     dtype: Dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
-        pooled: List[jnp.ndarray] = [
+    def setup(self):
+        self.heads = [
             AttentionModule(self.n_classes, self.att_activation, self.cla_activation,
-                            self.dtype, name=f"att{i}")(h)
+                            self.dtype, name=f"att{i}")
             for i in range(self.n_heads)
         ]
+        self.out = nn.Dense(self.n_classes, dtype=jnp.float32, name="out")
+
+    def logits(self, h: jnp.ndarray):
+        """Per-head per-segment (gate, cla) logits — the streaming contract."""
+        return [head.logits(h) for head in self.heads]
+
+    def finalize(self, pooled: List[jnp.ndarray]) -> jnp.ndarray:
+        """Concat per-head pooled vectors -> final FC + sigmoid."""
         z = jnp.concatenate(pooled, axis=-1)
-        out = nn.Dense(self.n_classes, dtype=jnp.float32, name="out")(z)
-        return nn.sigmoid(out)
+        return nn.sigmoid(self.out(z))
+
+    def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
+        pooled = [
+            attention_pool(g, c, self.att_activation, self.cla_activation)
+            for g, c in self.logits(h)
+        ]
+        return self.finalize(pooled)

@@ -136,9 +136,10 @@ class AudioTagger(nn.Module):
         return self.head(self.embed(x, train=train), train=train)
 
     def segment_logits(self, x: jnp.ndarray):
-        """Per-segment (gate, cla) logits per level — the streaming-inference
-        contract (T6/T11): pooling state is accumulated outside over chunks.
-        Only defined for attention variants."""
+        """Per-segment (gate, cla) logits per level/head — the streaming-
+        inference contract (T6/T11): pooling state is accumulated outside
+        over chunks. Defined for every attention variant; the pool baselines
+        (avg/max) have no gate and stream differently."""
         h = self.embed(x, train=False)
         cfg = self.cfg
         if cfg.variant == "multi_level_attention":
@@ -151,12 +152,19 @@ class AudioTagger(nn.Module):
             h = block(h, train=False)
         if cfg.variant == "single_attention":
             return [self.att.logits(h)]
+        if cfg.variant == "multi_attention":
+            return self.mh.logits(h)  # one (gate, cla) per head
         raise NotImplementedError(f"streaming not defined for {cfg.variant!r}")
 
     def finalize_multi_level(self, pooled: List[jnp.ndarray]) -> jnp.ndarray:
         """Concat per-level pooled vectors -> final FC + sigmoid (streaming tail)."""
         z = jnp.concatenate(pooled, axis=-1)
         return nn.sigmoid(self.out(z))
+
+    def finalize_multi_head(self, pooled: List[jnp.ndarray]) -> jnp.ndarray:
+        """Concat per-head pooled vectors -> final FC + sigmoid (streaming tail
+        for the multi_attention variant)."""
+        return self.mh.finalize(pooled)
 
 
 def build_model(cfg: ModelConfig) -> AudioTagger:

@@ -22,7 +22,12 @@ from mla_tpu.config import Config
 from mla_tpu.models.zoo import build_model
 from mla_tpu.ops import attention_pool as ap
 from mla_tpu.ops import frontend as fe
-from mla_tpu.serve.streaming import _samples_per_patches
+from mla_tpu.serve.streaming import (
+    STREAMING_VARIANTS,
+    _samples_per_patches,
+    n_stream_levels,
+    stream_finalize_scores,
+)
 
 
 class BatchedStreamingServer:
@@ -37,7 +42,7 @@ class BatchedStreamingServer:
 
     def __init__(self, cfg: Config, variables: Dict, max_streams: int = 8,
                  chunk_patches: int = 5):
-        if cfg.model.variant not in ("multi_level_attention", "single_attention"):
+        if cfg.model.variant not in STREAMING_VARIANTS:
             raise ValueError(f"streaming needs an attention variant, got {cfg.model.variant!r}")
         self.cfg = cfg
         self.model = build_model(cfg.model)
@@ -48,20 +53,26 @@ class BatchedStreamingServer:
         self.hop_samples = (
             cfg.frontend.example_hop_frames * cfg.frontend.hop_length * chunk_patches
         )
-        self._n_levels = (
-            cfg.model.n_blocks if cfg.model.variant == "multi_level_attention" else 1
-        )
+        self._n_levels = n_stream_levels(cfg.model)
         self._bufs: List[Optional[np.ndarray]] = [None] * self.S
         self._fed = np.zeros(self.S, bool)
         c = cfg.model.n_classes
         self.states = [ap.init_stream_state((self.S, c)) for _ in range(self._n_levels)]
 
-        def batched_step(states, wav, active):
-            """wav [S, chunk_samples]; active [S] bool — fold only active rows."""
+        def batched_step(states, wav, active, n_valid):
+            """wav [S, chunk_samples]; active [S] bool — fold only active
+            rows; n_valid [S] int — per-stream count of REAL patches in the
+            chunk (a flush pads the tail with zeros; padded patches get gate
+            logits of -inf so they contribute nothing — exact for every gate
+            activation, which all map -inf to 0). One static-shape program
+            serves both regular ticks (n_valid = chunk_patches) and flushes."""
             patches = fe.apply_frontend(wav, cfg.frontend)  # [S, P, 96, 64]
             levels = self.model.apply(self.variables, patches, method="segment_logits")
+            p = patches.shape[1]
+            tmask = jnp.arange(p)[None, :] < n_valid[:, None]  # [S, P]
             new_states = []
             for st, (g, c_) in zip(states, levels):
+                g = jnp.where(tmask[..., None], g, -jnp.inf)
                 upd = ap.update_stream_state(st, g, c_, cfg.model.att_activation,
                                              cfg.model.cla_activation)
                 mask = active[:, None]
@@ -73,11 +84,9 @@ class BatchedStreamingServer:
             return new_states
 
         def finalize(states):
-            pooled = [ap.stream_finalize(st) for st in states]
-            if cfg.model.variant == "multi_level_attention":
-                return self.model.apply(self.variables, pooled,
-                                        method="finalize_multi_level")
-            return pooled[0]
+            return stream_finalize_scores(
+                self.model, self.variables, cfg.model.variant, states
+            )
 
         self._batched_step = jax.jit(batched_step)
         self._finalize = jax.jit(finalize)
@@ -137,8 +146,9 @@ class BatchedStreamingServer:
             if active[sid]:
                 wav[sid] = self._bufs[sid][: self.chunk_samples]
                 self._bufs[sid] = self._bufs[sid][self.hop_samples :]
+        n_valid = np.full(self.S, self.chunk_patches, np.int32)
         self.states = self._batched_step(
-            self.states, jnp.asarray(wav), jnp.asarray(active)
+            self.states, jnp.asarray(wav), jnp.asarray(active), jnp.asarray(n_valid)
         )
         self._fed |= active
         return int(active.sum())
@@ -151,6 +161,33 @@ class BatchedStreamingServer:
             if n == 0:
                 return total
             total += n
+
+    def flush(self, sid: int) -> bool:
+        """Fold a stream's sub-chunk tail into its state (zero-padded up to
+        whole patches, padding masked out of the accumulators) — the server
+        counterpart of ``StreamingTagger.flush``, so tail audio shorter than
+        a chunk is never stranded. Reuses the tick program (static shapes);
+        returns True if a device call was made."""
+        self._check(sid)
+        buf = self._bufs[sid]
+        if len(buf) == 0:
+            return False
+        fcfg = self.cfg.frontend
+        min_samples = _samples_per_patches(fcfg, 1)
+        patch_hop = fcfg.example_hop_frames * fcfg.hop_length
+        extra = max(len(buf), min_samples) - min_samples
+        n_valid_sid = min(1 + int(np.ceil(extra / patch_hop)), self.chunk_patches)
+        wav = np.zeros((self.S, self.chunk_samples), np.float32)
+        wav[sid, : min(len(buf), self.chunk_samples)] = buf[: self.chunk_samples]
+        active = np.zeros(self.S, bool)
+        active[sid] = True
+        n_valid = np.full(self.S, n_valid_sid, np.int32)
+        self.states = self._batched_step(
+            self.states, jnp.asarray(wav), jnp.asarray(active), jnp.asarray(n_valid)
+        )
+        self._fed[sid] = True
+        self._bufs[sid] = np.zeros(0, np.float32)
+        return True
 
     def scores(self, sid: int) -> np.ndarray:
         self._check(sid)

@@ -47,12 +47,11 @@ def tag_clip_time_sharded(
         patches = jnp.concatenate([patches, pad], axis=1)
     valid = (jnp.arange(t_pad) < t).astype(jnp.float32)[None]  # [1, T_pad]
 
-    n_levels = cfg.model.n_blocks if cfg.model.variant == "multi_level_attention" else 1
     c = cfg.model.n_classes
 
     def local(p_shard, valid_shard):
         levels = model.apply(variables, p_shard, method="segment_logits")
-        pooled: List[jnp.ndarray] = []
+        states = []
         for g, cl in levels:
             # mask padded patches: gate logits -> -inf so exp contributes 0
             mask = valid_shard[..., None]
@@ -61,11 +60,10 @@ def tag_clip_time_sharded(
                 ap.init_stream_state((1, c)), g, cl,
                 cfg.model.att_activation, cfg.model.cla_activation,
             )
-            st = ap.psum_stream_state(st, axis, cfg.model.att_activation)
-            pooled.append(ap.stream_finalize(st))
-        if cfg.model.variant == "multi_level_attention":
-            return model.apply(variables, pooled, method="finalize_multi_level")
-        return pooled[0]
+            states.append(ap.psum_stream_state(st, axis, cfg.model.att_activation))
+        from mla_tpu.serve.streaming import stream_finalize_scores
+
+        return stream_finalize_scores(model, variables, cfg.model.variant, states)
 
     fn = jax.jit(
         jax.shard_map(

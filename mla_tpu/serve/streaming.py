@@ -39,6 +39,32 @@ def _samples_per_patches(cfg, n_patches: int) -> int:
     return (frames - 1) * cfg.hop_length + cfg.window_length
 
 
+STREAMING_VARIANTS = ("multi_level_attention", "single_attention", "multi_attention")
+
+
+def n_stream_levels(mcfg) -> int:
+    """How many independent (gate, cla) accumulator pairs a variant streams:
+    one per level for multi-level, one per head for multi-attention, one
+    otherwise."""
+    if mcfg.variant == "multi_level_attention":
+        return mcfg.n_blocks
+    if mcfg.variant == "multi_attention":
+        return mcfg.n_attention_heads
+    return 1
+
+
+def stream_finalize_scores(model, variables, variant: str, states) -> jnp.ndarray:
+    """Pooled accumulator states -> clip scores (the variant's streaming tail).
+    Shared by the single-stream tagger, the batched server, and the
+    time-sharded path so all three finalize identically."""
+    pooled = [ap.stream_finalize(st) for st in states]
+    if variant == "multi_level_attention":
+        return model.apply(variables, pooled, method="finalize_multi_level")
+    if variant == "multi_attention":
+        return model.apply(variables, pooled, method="finalize_multi_head")
+    return pooled[0]
+
+
 class StreamingTagger:
     """Long-form audio tagger with O(1) device state.
 
@@ -49,7 +75,7 @@ class StreamingTagger:
     """
 
     def __init__(self, cfg: Config, variables: Dict, chunk_patches: int = 10):
-        if cfg.model.variant not in ("multi_level_attention", "single_attention"):
+        if cfg.model.variant not in STREAMING_VARIANTS:
             raise ValueError(f"streaming needs an attention variant, got {cfg.model.variant!r}")
         self.cfg = cfg
         self.model = build_model(cfg.model)
@@ -57,9 +83,7 @@ class StreamingTagger:
         self.chunk_patches = chunk_patches
         self.chunk_samples = _samples_per_patches(cfg.frontend, chunk_patches)
         self._buf = np.zeros(0, np.float32)
-        self._n_levels = (
-            cfg.model.n_blocks if cfg.model.variant == "multi_level_attention" else 1
-        )
+        self._n_levels = n_stream_levels(cfg.model)
         self.reset()
 
         def chunk_step(states, wav):
@@ -72,11 +96,9 @@ class StreamingTagger:
             ]
 
         def finalize(states):
-            pooled = [ap.stream_finalize(st) for st in states]
-            if cfg.model.variant == "multi_level_attention":
-                return self.model.apply(self.variables, pooled,
-                                        method="finalize_multi_level")
-            return pooled[0]
+            return stream_finalize_scores(
+                self.model, self.variables, cfg.model.variant, states
+            )
 
         self._chunk_step = jax.jit(chunk_step)
         self._finalize = jax.jit(finalize)

@@ -80,6 +80,50 @@ def test_slot_lifecycle(setup):
     assert np.isfinite(srv.scores(c)).all()
 
 
+def test_server_flush_matches_tagger_flush(setup):
+    """Sub-chunk tails are drained identically by server.flush(sid) and
+    StreamingTagger.flush (round-1 VERDICT item 6: the server stranded them)."""
+    cfg, variables, wav = setup
+    n = _samples_per_patches(cfg.frontend, 7)  # 5-patch chunk + ~2-patch tail
+    audio = wav[:n]
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5)
+    sid = srv.open()
+    srv.feed(sid, audio)
+    srv.drain()
+    assert srv.pending(sid) > 0  # a tail is actually stranded pre-flush
+    assert srv.flush(sid) is True
+    assert srv.pending(sid) == 0
+    single = StreamingTagger(cfg, variables, chunk_patches=5)
+    single.feed(audio)
+    single.flush()
+    np.testing.assert_allclose(srv.scores(sid), single.scores(), rtol=1e-4, atol=1e-5)
+    assert srv.flush(sid) is False  # nothing left to drain
+
+
+def test_server_multi_attention_variant(setup):
+    cfg, _, wav = setup
+    import dataclasses
+
+    import jax as _jax
+
+    cfg_mh = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, variant="multi_attention")
+    )
+    model = build_model(cfg_mh.model)
+    from mla_tpu.ops.frontend import waveform_to_patches
+
+    patches = waveform_to_patches(jnp.asarray(wav[: 16000 * 2])[None], cfg_mh.frontend)
+    variables = model.init(_jax.random.key(4), patches)
+    n = _samples_per_patches(cfg_mh.frontend, 10)
+    srv = BatchedStreamingServer(cfg_mh, variables, max_streams=2, chunk_patches=5)
+    sid = srv.open()
+    srv.feed(sid, wav[:n])
+    srv.drain()
+    single = StreamingTagger(cfg_mh, variables, chunk_patches=5)
+    single.feed(wav[:n])
+    np.testing.assert_allclose(srv.scores(sid), single.scores(), rtol=1e-4, atol=1e-5)
+
+
 def test_closed_then_reopened_slot_state_is_fresh(setup):
     cfg, variables, wav = setup
     srv = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5)

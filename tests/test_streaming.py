@@ -94,6 +94,26 @@ def test_streaming_flush_short_tail(setup):
     assert np.isfinite(tagger.scores()).all()
 
 
+def test_streaming_multi_attention_matches_whole_clip(setup):
+    """multi_attention streams too (round-1 VERDICT item 6): per-head
+    accumulators + concat/FC finalize == one-shot forward."""
+    cfg, _, _ = setup
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    cfg_mh = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, variant="multi_attention")
+    )
+    model = build_model(cfg_mh.model)
+    n = _samples_per_patches(cfg_mh.frontend, 10)
+    wav = (np.random.default_rng(11).standard_normal(n) * 0.1).astype(np.float32)
+    patches = waveform_to_patches(jnp.asarray(wav[: 16000 * 2])[None], cfg_mh.frontend)
+    variables = model.init(jax.random.key(2), patches)
+    whole = tag_clip(cfg_mh, variables, wav)
+    tagger = StreamingTagger(cfg_mh, variables, chunk_patches=5)
+    tagger.feed(wav)
+    np.testing.assert_allclose(tagger.scores(), whole, rtol=1e-4, atol=1e-5)
+
+
 def test_streaming_rejects_pool_variants(setup):
     cfg, variables, _ = setup
     bad = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, variant="avg_pool"))
