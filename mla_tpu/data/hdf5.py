@@ -6,7 +6,9 @@ Layout matches the upstream AudioSet packing convention:
               [clips, T, 96, 64] when packing raw log-mel)
   y          [clips, n_classes] bool multi-hot labels
   video_id_list  [clips] bytes
-Dequantization of Google's 8-bit bottleneck features: (q - 128) / 128 * C.
+Dequantization of Google's 8-bit bottleneck features: (q - 128) / 128,
+the upstream ``uint8_to_float32`` convention (SURVEY.md §2.1 C2) — values
+in [-1, 1). ``scale`` parametrizes both directions for non-reference packs.
 """
 
 from __future__ import annotations
@@ -23,7 +25,11 @@ try:
 except ImportError:  # pragma: no cover - h5py is baked into this image
     HAVE_H5PY = False
 
-DEQUANT_SCALE = 2.0  # upstream embeddings live in [-2, 2)
+# The documented reference convention (SURVEY.md C2): (q - 128) / 128 in
+# [-1, 1). Round 1 shipped 2.0 here, which would have loaded real
+# upstream-packed AudioSet HDF5 at twice the reference feature scale
+# (ADVICE.md round 1); re-verify against real files if the mount populates.
+DEQUANT_SCALE = 1.0
 
 
 def uint8_to_float32(x: np.ndarray, scale: float = DEQUANT_SCALE) -> np.ndarray:

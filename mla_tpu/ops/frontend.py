@@ -111,10 +111,10 @@ def frame_signal(x: jax.Array, window_length: int, hop_length: int) -> jax.Array
     num_frames = 1 + (n - window_length) // hop_length
     if num_frames <= 0:
         raise ValueError(f"signal too short to frame: {n} < {window_length}")
-    # Generic gather fallback for hops that don't tile the window cleanly.
-    if window_length % hop_length != 0 and hop_length % np.gcd(window_length, hop_length) != 0:
-        idx = np.arange(num_frames)[:, None] * hop_length + np.arange(window_length)[None, :]
-        return x[..., idx]
+    # The block decomposition below is valid for ANY window/hop geometry:
+    # frame t starts at sample t*hop, i.e. at hop-block t, and is the first
+    # `window` samples of blocks t, t+1, ... — each piece a static slice.
+    # (A gather fallback guarded here in round 1 was dead code; ADVICE.md.)
     blocks_needed = (window_length + hop_length - 1) // hop_length
     usable = (num_frames - 1 + blocks_needed) * hop_length
     pad = max(0, usable - n)

@@ -49,6 +49,12 @@ def _framing_plan(cfg: FrontendConfig, n_samples: int):
     """Static framing geometry for one clip."""
     window, hop = cfg.window_length, cfg.hop_length
     wf, hf = cfg.example_window_frames, cfg.example_hop_frames
+    if hf != wf:
+        raise NotImplementedError(
+            "fused Pallas front-end supports non-overlapping patches only "
+            f"(example_hop_frames={hf} != example_window_frames={wf}); "
+            "use FrontendConfig.impl='xla' for overlapping patch configs"
+        )
     n_frames = 1 + (n_samples - window) // hop
     n_patches = 1 + (n_frames - wf) // hf
     if n_patches < 1:

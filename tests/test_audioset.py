@@ -24,7 +24,7 @@ def test_roundtrip_tfrecord_to_hdf5(tmp_path, rng):
     assert n == len(x)
     xf, yf, ids = hdf5.load_data(out)
     assert xf.shape == (len(x), 10, 128) and yf.shape == (len(x), 527)
-    # uint8 was stored pre-quantized; loader dequantizes with (q-128)/128*2
+    # uint8 was stored pre-quantized; loader dequantizes with (q-128)/128
     np.testing.assert_allclose(xf, hdf5.uint8_to_float32(x), atol=1e-6)
     for i, ls in enumerate(labels):
         assert set(np.nonzero(yf[i])[0]) == set(ls)

@@ -10,14 +10,25 @@ from mla_tpu.data.sampler import BalancedSampler, SequentialSampler
 
 
 def test_uint8_roundtrip(rng):
-    x = (rng.random((5, 10, 128)).astype(np.float32) * 3.9 - 1.95).astype(np.float32)
+    # dequant range is [-1, 1): the documented (q-128)/128 reference convention
+    x = (rng.random((5, 10, 128)).astype(np.float32) * 1.98 - 0.99).astype(np.float32)
     q = hdf5.float32_to_uint8(x)
     x2 = hdf5.uint8_to_float32(q)
     assert q.dtype == np.uint8
-    assert np.abs(x - x2).max() <= 2.0 / 128 + 1e-6  # one quantization step
+    assert np.abs(x - x2).max() <= 1.0 / 128 + 1e-6  # one quantization step
+
+
+def test_uint8_reference_convention():
+    """(q - 128) / 128 exactly — loading upstream-packed AudioSet HDF5 must
+    reproduce the reference feature scale (ADVICE.md round 1)."""
+    q = np.array([0, 128, 255], np.uint8)
+    np.testing.assert_allclose(
+        hdf5.uint8_to_float32(q), [-1.0, 0.0, 127.0 / 128.0], atol=1e-7
+    )
+
 
 def test_hdf5_pack_load(tmp_path, rng):
-    x = (rng.random((8, 10, 128)).astype(np.float32) * 3.9 - 1.95)  # within dequant range
+    x = (rng.random((8, 10, 128)).astype(np.float32) * 1.98 - 0.99)  # within dequant range
     y = rng.random((8, 20)) < 0.1
     p = str(tmp_path / "pack.h5")
     hdf5.pack_hdf5(p, x, y, quantize=True)
@@ -25,7 +36,7 @@ def test_hdf5_pack_load(tmp_path, rng):
     assert x2.shape == x.shape and y2.shape == y.shape
     assert y2.dtype == np.float32
     np.testing.assert_array_equal(y2, y.astype(np.float32))
-    assert np.abs(x2 - x).max() <= 2.0 / 128 + 1e-6
+    assert np.abs(x2 - x).max() <= 1.0 / 128 + 1e-6
     assert ids[0] == b"clip00000000"
 
 
