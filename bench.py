@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BATCH = 128
 SECONDS = 10
 N_ITERS = 20
+REPEATS = 5  # timed repeats; the median is THE number (round-1 VERDICT #4)
 CPU_CLIPS = 8
 
 
@@ -58,10 +59,14 @@ def _tpu_throughput(cfg):
     # warm with the SAME list length: combine specializes on it, and a
     # 2-element warmup would leave the N-element compile inside the timing
     np.asarray(combine([forward(variables, wav) for _ in range(N_ITERS)]))
-    t0 = time.perf_counter()
-    np.asarray(combine([forward(variables, wav) for _ in range(N_ITERS)]))
-    dt = time.perf_counter() - t0
-    infer_cps = BATCH * N_ITERS / dt
+    infer_times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        np.asarray(combine([forward(variables, wav) for _ in range(N_ITERS)]))
+        infer_times.append(time.perf_counter() - t0)
+    infer_dt = float(np.median(infer_times))
+    infer_cps = BATCH * N_ITERS / infer_dt
+    infer_spread = (max(infer_times) - min(infer_times)) / infer_dt
 
     # train step throughput on the same program + BCE/Adam backward
     from mla_tpu.train.state import create_train_state, make_train_step
@@ -71,14 +76,19 @@ def _tpu_throughput(cfg):
     step = jax.jit(make_train_step(cfg, model, "waveform"), donate_argnums=(0,))
     state, loss = step(state, wav, y)
     np.asarray(loss)  # compile + warmup (host fetch = the real sync, see above)
-    t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        state, loss = step(state, wav, y)
-    # the donated-state chain serializes the steps on device; fetching the
-    # final loss forces the whole chain with a single RTT
-    np.asarray(loss)
-    train_cps = BATCH * N_ITERS / (time.perf_counter() - t0)
-    return infer_cps, train_cps
+    train_times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        for _ in range(N_ITERS):
+            state, loss = step(state, wav, y)
+        # the donated-state chain serializes the steps on device; fetching
+        # the final loss forces the whole chain with a single RTT
+        np.asarray(loss)
+        train_times.append(time.perf_counter() - t0)
+    train_dt = float(np.median(train_times))
+    train_cps = BATCH * N_ITERS / train_dt
+    train_spread = (max(train_times) - min(train_times)) / train_dt
+    return infer_cps, train_cps, infer_spread, train_spread
 
 
 def _cpu_reference_throughput(cfg):
@@ -141,7 +151,7 @@ def main():
     from mla_tpu.config import get_config
 
     cfg = get_config("audioset_full_dp")
-    infer_cps, train_cps = _tpu_throughput(cfg)
+    infer_cps, train_cps, infer_spread, train_spread = _tpu_throughput(cfg)
     cpu_cps = _cpu_reference_throughput(cfg)
     result = {
         "metric": "infer_clips_per_sec_chip",
@@ -150,6 +160,11 @@ def main():
         "vs_baseline": round(infer_cps / cpu_cps, 2),
         "train_clips_per_sec_chip": round(train_cps, 2),
         "cpu_reference_clips_per_sec": round(cpu_cps, 2),
+        "repeats": REPEATS,
+        # (max-min)/median across timed repeats; large values mean the chip
+        # was NOT exclusive during the run — rerun before trusting the medians
+        "infer_rel_spread": round(infer_spread, 4),
+        "train_rel_spread": round(train_spread, 4),
         "batch": BATCH,
         "clip_seconds": SECONDS,
         "model": "multi_level_attention+cnn_trunk",

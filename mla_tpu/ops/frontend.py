@@ -22,6 +22,7 @@ mount is empty — SURVEY.md §0):
 from __future__ import annotations
 
 import functools
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -135,6 +136,27 @@ _PRECISIONS = {
 }
 
 
+def split_bf16(a: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """f32 -> (hi, lo) bf16 pair with a == hi + lo to ~16 mantissa bits."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def dot_bf16x3(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Near-f32 matmul from THREE native bf16 MXU passes (vs six for
+    Precision.HIGHEST): split both operands hi/lo, keep hi@hi + hi@lo +
+    lo@hi, drop lo@lo (below f32 rounding at these magnitudes). Worst case
+    ~3e-4 on log-mel values near the log floor (tested at 5e-4) at half the
+    MXU passes of HIGHEST."""
+    a_hi, a_lo = split_bf16(a)
+    b_hi, b_lo = split_bf16(b)
+    out = jnp.dot(a_hi, b_hi, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(a_hi, b_lo, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(a_lo, b_hi, preferred_element_type=jnp.float32)
+    return out
+
+
 def stft_magnitude(
     x: jax.Array,
     window_length: int,
@@ -156,18 +178,58 @@ def stft_magnitude(
         spec = jnp.fft.rfft(frames * win, n=fft_size, axis=-1)
         return jnp.abs(spec).astype(frames.dtype)
     elif method == "matmul":
-        prec = _PRECISIONS[precision]
         cos_b, sin_b = dft_bases(window_length, fft_size)
-        re = jnp.dot(frames, jnp.asarray(cos_b), precision=prec)
-        im = jnp.dot(frames, jnp.asarray(sin_b), precision=prec)
+        if precision == "bf16x3":
+            re = dot_bf16x3(frames, jnp.asarray(cos_b))
+            im = dot_bf16x3(frames, jnp.asarray(sin_b))
+        else:
+            prec = _PRECISIONS[precision]
+            re = jnp.dot(frames, jnp.asarray(cos_b), precision=prec)
+            im = jnp.dot(frames, jnp.asarray(sin_b), precision=prec)
         return jnp.sqrt(re * re + im * im)
     raise ValueError(f"unknown stft method {method!r}")
+
+
+@functools.lru_cache(maxsize=8)
+def trimmed_spectral_bases(cfg: FrontendConfig):
+    """(cos, sin, mel, n_bins_used): DFT bases + mel filterbank trimmed to
+    the last spectrogram bin with nonzero mel weight. EXACT — the dropped
+    trailing bins (above mel_max_hz, e.g. 240..256 of the default config)
+    have all-zero mel weight, so they contribute nothing after the mel
+    matmul; skipping them cuts the DFT GEMM's N by ~6-33% depending on how
+    the compiler pads (measured 9.5 -> 8.9 ms / 256 ten-second clips on
+    chip at HIGHEST)."""
+    cos_b, sin_b = dft_bases(cfg.window_length, cfg.fft_size)
+    mel_w = mel_filterbank(
+        cfg.num_mel_bins, cfg.num_spectrogram_bins, cfg.sample_rate,
+        cfg.mel_min_hz, cfg.mel_max_hz,
+    )
+    n = int(np.nonzero(mel_w.any(axis=1))[0][-1]) + 1
+    return cos_b[:, :n].copy(), sin_b[:, :n].copy(), mel_w[:n].copy(), n
 
 
 def log_mel_spectrogram(
     x: jax.Array, cfg: FrontendConfig = FrontendConfig(), method: str = "matmul"
 ) -> jax.Array:
     """Waveform [..., n] -> log-mel [..., num_frames, num_mel_bins]."""
+    mel_prec = "highest" if cfg.precision == "bf16x3" else cfg.precision
+    if method == "matmul":
+        # fused trimmed path: frames -> DFT GEMMs over only the mel-active
+        # bins -> magnitude -> mel GEMM -> log, one XLA fusion region
+        cos_b, sin_b, mel_t, _ = trimmed_spectral_bases(cfg)
+        frames = frame_signal(x, cfg.window_length, cfg.hop_length)
+        if cfg.precision == "bf16x3":
+            re = dot_bf16x3(frames, jnp.asarray(cos_b))
+            im = dot_bf16x3(frames, jnp.asarray(sin_b))
+        else:
+            prec = _PRECISIONS[cfg.precision]
+            re = jnp.dot(frames, jnp.asarray(cos_b), precision=prec)
+            im = jnp.dot(frames, jnp.asarray(sin_b), precision=prec)
+        mag = jnp.sqrt(re * re + im * im)
+        return jnp.log(
+            jnp.dot(mag, jnp.asarray(mel_t), precision=_PRECISIONS[mel_prec])
+            + cfg.log_offset
+        )
     mag = stft_magnitude(
         x, cfg.window_length, cfg.hop_length, cfg.fft_size, method, cfg.precision
     )
@@ -180,7 +242,7 @@ def log_mel_spectrogram(
             cfg.mel_max_hz,
         )
     )
-    return jnp.log(jnp.dot(mag, mel_w, precision=_PRECISIONS[cfg.precision]) + cfg.log_offset)
+    return jnp.log(jnp.dot(mag, mel_w, precision=_PRECISIONS[mel_prec]) + cfg.log_offset)
 
 
 def waveform_to_patches(

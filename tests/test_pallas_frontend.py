@@ -71,5 +71,41 @@ def test_kernel_inside_jit_grad_program(rng):
 
 
 def test_bytes_moved_accounting():
+    # g=3 residue-class views of 960 frames x 160-sample hop blocks in,
+    # 960x64 log-mel rows out
     b = frontend_bytes_moved(4, 160000, CFG)
-    assert b == 4 * (160000 * 4 + 960 * 64 * 4)
+    assert b == 4 * (3 * 960 * 160 * 4 + 960 * 64 * 4)
+
+
+def test_kernel_bf16x3_precision(rng):
+    """The split-GEMM mode stays inside a 5e-4 budget (worst case observed
+    ~3e-4 on log-mel values near the log floor; the full-parity mode is
+    "highest" at ~1e-4)."""
+    wav = (rng.standard_normal((2, 160000)) * 0.1).astype(np.float32)
+    out = np.asarray(
+        fused_log_mel_patches(jnp.asarray(wav), CFG, precision="bf16x3", interpret=True)
+    )
+    ref = np.stack([oracle.waveform_to_examples(w) for w in wav])
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_xla_path_bf16x3_precision(rng):
+    import dataclasses as dc
+
+    wav = (rng.standard_normal((2, 160000)) * 0.1).astype(np.float32)
+    cfg3 = dc.replace(CFG, precision="bf16x3")
+    out = np.asarray(waveform_to_patches(jnp.asarray(wav), cfg3))
+    ref = np.stack([oracle.waveform_to_examples(w) for w in wav])
+    np.testing.assert_allclose(out, ref, atol=5e-4)
+
+
+def test_kernel_non_default_geometry(rng):
+    """used_frames not divisible by g exercises the frame-padding path
+    (0.5 s patches -> 50-frame windows; 7 patches -> 350 frames, 350 % 3 != 0)."""
+    import dataclasses as dc
+
+    cfg = dc.replace(CFG, example_window_seconds=0.50, example_hop_seconds=0.50)
+    wav = (rng.standard_normal((2, 16000 * 4)) * 0.1).astype(np.float32)
+    a = np.asarray(fused_log_mel_patches(jnp.asarray(wav), cfg, interpret=True))
+    b = np.asarray(waveform_to_patches(jnp.asarray(wav), cfg))
+    np.testing.assert_allclose(a, b, atol=2e-4)
