@@ -163,20 +163,27 @@ class BatchedStreamingServer:
             total += n
 
     def flush(self, sid: int) -> bool:
-        """Fold a stream's sub-chunk tail into its state (zero-padded up to
-        whole patches, padding masked out of the accumulators) — the server
-        counterpart of ``StreamingTagger.flush``, so tail audio shorter than
-        a chunk is never stranded. Reuses the tick program (static shapes);
+        """Fold a stream's sub-chunk tail into its state — the server
+        counterpart of ``StreamingTagger.flush``, with the same semantics:
+        remaining WHOLE patches are processed (the sub-patch remainder is
+        dropped, matching the reference front-end), and only a stream too
+        short for one patch gets zero-padded to one. Padded patches are
+        masked out of the accumulators via the tick program's n_valid lane;
         returns True if a device call was made."""
         self._check(sid)
         buf = self._bufs[sid]
         if len(buf) == 0:
             return False
+        from mla_tpu.serve.streaming import _whole_patches
+
         fcfg = self.cfg.frontend
-        min_samples = _samples_per_patches(fcfg, 1)
-        patch_hop = fcfg.example_hop_frames * fcfg.hop_length
-        extra = max(len(buf), min_samples) - min_samples
-        n_valid_sid = min(1 + int(np.ceil(extra / patch_hop)), self.chunk_patches)
+        n_valid_sid = _whole_patches(fcfg, len(buf))
+        if n_valid_sid < 1:
+            if self._fed[sid]:
+                self._bufs[sid] = np.zeros(0, np.float32)
+                return False
+            n_valid_sid = 1  # lone sub-patch stream: zero-pad to one patch
+        n_valid_sid = min(n_valid_sid, self.chunk_patches)
         wav = np.zeros((self.S, self.chunk_samples), np.float32)
         wav[sid, : min(len(buf), self.chunk_samples)] = buf[: self.chunk_samples]
         active = np.zeros(self.S, bool)

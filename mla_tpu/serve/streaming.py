@@ -32,11 +32,27 @@ from mla_tpu.ops import frontend as fe
 
 
 def _samples_per_patches(cfg, n_patches: int) -> int:
-    """Samples consumed by exactly n_patches non-overlapping patches."""
+    """Samples consumed by exactly n_patches non-overlapping patches,
+    rounded up to whole hop blocks: the fused Pallas front-end frames by
+    hop blocks and needs ceil(window/hop) blocks behind the last frame
+    ((frames-1+g)*hop >= (frames-1)*hop + window), while the XLA path
+    simply ignores the < hop extra samples — so one size serves both
+    impls (found by `infer --stream` failing on a pallas config)."""
     frames = n_patches * cfg.example_hop_frames + (
         cfg.example_window_frames - cfg.example_hop_frames
     )
-    return (frames - 1) * cfg.hop_length + cfg.window_length
+    g = -(-cfg.window_length // cfg.hop_length)
+    return (frames - 1 + g) * cfg.hop_length
+
+
+def _whole_patches(cfg, n_samples: int) -> int:
+    """Number of COMPLETE patches in n_samples (reference C3 framing)."""
+    if n_samples < cfg.window_length:
+        return 0
+    frames = 1 + (n_samples - cfg.window_length) // cfg.hop_length
+    if frames < cfg.example_window_frames:
+        return 0
+    return 1 + (frames - cfg.example_window_frames) // cfg.example_hop_frames
 
 
 STREAMING_VARIANTS = ("multi_level_attention", "single_attention", "multi_attention")
@@ -127,18 +143,21 @@ class StreamingTagger:
             self._buf = self._buf[consumed:]
 
     def flush(self):
-        """Process whatever remains (zero-padded up to one patch)."""
-        min_samples = _samples_per_patches(self.cfg.frontend, 1)
-        if len(self._buf) == 0 or (self._fed_any and len(self._buf) < min_samples // 8):
-            self._buf = np.zeros(0, np.float32)
-            return
-        n = max(len(self._buf), min_samples)
-        # round up to a whole number of patches
-        hop_samples = self.cfg.frontend.example_hop_frames * self.cfg.frontend.hop_length
-        extra = n - min_samples
-        n_patches = 1 + int(np.ceil(extra / hop_samples))
-        padded = np.zeros(_samples_per_patches(self.cfg.frontend, n_patches), np.float32)
-        padded[: len(self._buf)] = self._buf
+        """Process the remaining WHOLE patches; the sub-patch remainder is
+        dropped, matching the reference front-end (C3: waveform_to_examples
+        discards partial patches, so one-shot and streamed scores agree).
+        Exception: a stream too short for even one patch is zero-padded to
+        one so it still yields scores."""
+        fcfg = self.cfg.frontend
+        n_patches = _whole_patches(fcfg, len(self._buf))
+        if n_patches < 1:
+            if self._fed_any or len(self._buf) == 0:
+                self._buf = np.zeros(0, np.float32)
+                return
+            n_patches = 1  # lone sub-patch stream: zero-pad to one patch
+        size = _samples_per_patches(fcfg, n_patches)
+        padded = np.zeros(size, np.float32)
+        padded[: min(len(self._buf), size)] = self._buf[:size]
         levels = self.model.apply(
             self.variables,
             fe.apply_frontend(jnp.asarray(padded[None]), self.cfg.frontend),

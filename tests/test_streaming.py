@@ -114,6 +114,26 @@ def test_streaming_multi_attention_matches_whole_clip(setup):
     np.testing.assert_allclose(tagger.scores(), whole, rtol=1e-4, atol=1e-5)
 
 
+def test_streaming_with_pallas_frontend(setup):
+    """StreamingTagger must work with frontend impl='pallas': chunk sizing
+    has to satisfy the kernel's whole-hop-block framing (regression: the
+    XLA-sized chunks made the kernel raise 'need N samples' on flush)."""
+    cfg, variables, wav = setup
+    cfg_p = dataclasses.replace(
+        cfg, frontend=dataclasses.replace(cfg.frontend, impl="pallas")
+    )
+    tagger = StreamingTagger(cfg_p, variables, chunk_patches=3)
+    tagger.feed(wav[: 16000 * 5])  # > 1 chunk
+    tagger.flush()  # sub-chunk tail through the kernel too
+    scores = tagger.scores()
+    assert np.isfinite(scores).all()
+    # parity with the XLA-frontend tagger on the same audio
+    ref = StreamingTagger(cfg, variables, chunk_patches=3)
+    ref.feed(wav[: 16000 * 5])
+    ref.flush()
+    np.testing.assert_allclose(scores, ref.scores(), rtol=1e-3, atol=5e-4)
+
+
 def test_streaming_rejects_pool_variants(setup):
     cfg, variables, _ = setup
     bad = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, variant="avg_pool"))
