@@ -8,6 +8,7 @@ prep, feature extraction, train, eval, inference).
     python -m mla_tpu train    --config=esc50_single_attention [--set k=v ...]
     python -m mla_tpu eval     --config=... [--per_class=out.csv]
     python -m mla_tpu infer    --config=... --wav=a.wav [--stream]
+    python -m mla_tpu export   --config=... --out=model.mlax (AOT StableHLO)
     python -m mla_tpu parity   (reference-parity harness, T12)
     python -m mla_tpu configs
 
@@ -146,7 +147,6 @@ def cmd_embed(args):
     """Extract segment embeddings (the VGGish-embedding service use-case):
     wav -> [T, embed_dim] .npy via the configured trunk."""
     cfg = _load_cfg(args)
-    import jax
     import jax.numpy as jnp
 
     from mla_tpu.data import audio_io
@@ -156,20 +156,7 @@ def cmd_embed(args):
     wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
     patches = fe.apply_frontend(jnp.asarray(wav)[None], cfg.frontend)
     model = build_model(cfg.model)
-    variables = None
-    if args.checkpoint != "random":
-        try:
-            from mla_tpu.train.loop import resume
-
-            state, _ = resume(cfg, args.workspace)
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-        except FileNotFoundError:
-            print("# no checkpoint found — using random weights (demo mode)",
-                  file=sys.stderr)
-    if variables is None:
-        variables = model.init(jax.random.key(0), patches)
+    variables = _load_variables(args, cfg)
     emb = model.apply(variables, patches, method="embed")[0]
     emb = np.asarray(emb.astype("float32"))  # bf16 isn't a numpy dtype
     np.save(args.out, emb)
@@ -178,32 +165,11 @@ def cmd_embed(args):
 
 def cmd_infer(args):
     cfg = _load_cfg(args)
-    import jax
-
     from mla_tpu.data import audio_io
-    from mla_tpu.models.zoo import build_model
     from mla_tpu.serve.streaming import StreamingTagger, tag_clip
 
     wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
-    variables = None
-    if args.checkpoint != "random":  # "latest" (default) or explicit step
-        try:
-            from mla_tpu.train.loop import resume
-
-            state, _ = resume(cfg, args.workspace)
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-        except FileNotFoundError:
-            print("# no checkpoint found — using random weights (demo mode)",
-                  file=sys.stderr)
-    if variables is None:
-        from mla_tpu.ops import frontend as fe
-        import jax.numpy as jnp
-
-        model = build_model(cfg.model)
-        patches = fe.apply_frontend(jnp.asarray(wav[: 16000 * 10])[None], cfg.frontend)
-        variables = model.init(jax.random.key(0), patches)
+    variables = _load_variables(args, cfg)
     if args.stream:
         tagger = StreamingTagger(cfg, variables)
         block = cfg.frontend.sample_rate  # feed 1 s at a time
@@ -218,6 +184,45 @@ def cmd_infer(args):
     names = labels_for(cfg.data.dataset, cfg.model.n_classes, args.labels_csv)
     top = np.argsort(-scores)[: args.top_k]
     print(_jdump({"top_k": [[names[i], float(scores[i])] for i in top]}))
+
+
+def _load_variables(args, cfg, sample_wav_seconds: float = 2.0):
+    """Checkpoint variables per --checkpoint/--workspace, or random demo
+    weights (shared by embed/infer/export)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops import frontend as fe
+
+    if getattr(args, "checkpoint", "latest") != "random":
+        try:
+            from mla_tpu.train.loop import resume
+
+            state, _ = resume(cfg, args.workspace)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            return variables
+        except FileNotFoundError:
+            print("# no checkpoint found — using random weights (demo mode)",
+                  file=sys.stderr)
+    model = build_model(cfg.model)
+    n = int(sample_wav_seconds * cfg.frontend.sample_rate)
+    patches = fe.apply_frontend(jnp.zeros((1, n), jnp.float32), cfg.frontend)
+    return model.init(jax.random.key(0), patches)
+
+
+def cmd_export(args):
+    """Serialize the compiled waveform->probs forward (weights baked) to a
+    portable StableHLO artifact (deployment tier of C15/T11)."""
+    cfg = _load_cfg(args)
+    from mla_tpu.serve.export import export_forward
+
+    variables = _load_variables(args, cfg)
+    meta = export_forward(cfg, variables, args.out, batch=args.batch,
+                          seconds=args.seconds)
+    print(_jdump({"out": args.out, **meta}))
 
 
 def main(argv=None):
@@ -283,6 +288,16 @@ def main(argv=None):
                     help="AudioSet class_labels_indices.csv for display names")
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
+
+    sx = sub.add_parser("export", help="AOT-export waveform->probs to StableHLO")
+    sx.add_argument("--config", default="streaming_inference")
+    sx.add_argument("--workspace", default=None)
+    sx.add_argument("--checkpoint", default="latest")
+    sx.add_argument("--out", required=True)
+    sx.add_argument("--batch", type=int, default=8)
+    sx.add_argument("--seconds", type=float, default=10.0)
+    sx.add_argument("--set", nargs="*")
+    sx.set_defaults(fn=cmd_export)
 
     sy = sub.add_parser("parity", help="run the reference-parity harness (T12)")
     sy.set_defaults(fn=lambda a: __import__("mla_tpu.parity", fromlist=["main"]).main())

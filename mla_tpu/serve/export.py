@@ -1,0 +1,106 @@
+"""AOT model export (deployment tier of C15/T11): the full waveform ->
+clip-probs program — device front-end + trunk + attention head, with the
+trained weights baked in as constants — serialized to a single portable
+StableHLO artifact via ``jax.export``.
+
+Why this shape: the reference ships checkpoints that require its Python
+stack to run (SURVEY.md C14/C15); a TPU-native serving story wants a
+self-contained compiled artifact that any JAX runtime (or XLA-compatible
+loader) can execute without the model code, configs, or flax. The export
+is multi-platform (cpu + tpu) so the same artifact serves on a TPU host
+and in CPU CI.
+
+    info = export_forward(cfg, variables, "model.mlax", batch=8, seconds=10)
+    fn = load_exported("model.mlax")
+    probs = fn(wav_batch)          # [batch, n_classes]
+
+The artifact is static-shaped (batch x seconds are baked at export time —
+XLA semantics: one compiled program per shape), mirroring how serving
+fleets pin shapes per traffic class.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict
+
+import numpy as np
+
+MAGIC = b"MLAX1\n"
+
+
+def export_forward(
+    cfg,
+    variables: Dict,
+    path: str,
+    batch: int = 8,
+    seconds: float = 10.0,
+    platforms=("cpu", "tpu"),
+) -> Dict:
+    """Serialize the one-shot forward (waveform [batch, n] -> probs
+    [batch, C]) with weights baked in; returns the metadata dict that is
+    also stored in the artifact header."""
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops import frontend as fe
+
+    model = build_model(cfg.model)
+    n_samples = int(round(seconds * cfg.frontend.sample_rate))
+
+    def forward(wav):
+        patches = fe.waveform_to_patches(wav, cfg.frontend)
+        return model.apply(variables, patches, train=False).astype(jnp.float32)
+
+    exp = jexport.export(jax.jit(forward), platforms=tuple(platforms))(
+        jax.ShapeDtypeStruct((batch, n_samples), jnp.float32)
+    )
+    payload = exp.serialize()
+    meta = {
+        "format": "mla_tpu.export.v1",
+        "batch": batch,
+        "n_samples": n_samples,
+        "sample_rate": cfg.frontend.sample_rate,
+        "n_classes": cfg.model.n_classes,
+        "variant": cfg.model.variant,
+        "platforms": list(exp.platforms),
+    }
+    header = json.dumps(meta).encode()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(payload)
+    return meta
+
+
+def load_exported(path: str) -> Callable[[np.ndarray], np.ndarray]:
+    """Load an exported artifact; returns ``fn(wav [batch, n_samples]) ->
+    probs [batch, n_classes]`` with ``fn.meta`` holding the header dict.
+    Needs only jax — no model code, flax, or configs."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"{path} is not an mla_tpu export (bad magic {magic!r})")
+        hlen = int.from_bytes(f.read(8), "little")
+        meta = json.loads(f.read(hlen).decode())
+        payload = f.read()
+    exp = jexport.deserialize(payload)
+
+    def fn(wav: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        wav = jnp.asarray(wav, jnp.float32)
+        want = (meta["batch"], meta["n_samples"])
+        if tuple(wav.shape) != want:
+            raise ValueError(f"exported program is static-shaped {want}, got {tuple(wav.shape)}")
+        return np.asarray(exp.call(wav))
+
+    fn.meta = meta
+    return fn
