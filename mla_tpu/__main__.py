@@ -9,6 +9,7 @@ prep, feature extraction, train, eval, inference).
     python -m mla_tpu eval     --config=... [--per_class=out.csv]
     python -m mla_tpu infer    --config=... --wav=a.wav [--stream]
     python -m mla_tpu export   --config=... --out=model.mlax (AOT StableHLO)
+    python -m mla_tpu serve    --config=... --port=8000 (HTTP streaming service)
     python -m mla_tpu parity   (reference-parity harness, T12)
     python -m mla_tpu configs
 
@@ -213,6 +214,25 @@ def _load_variables(args, cfg, sample_wav_seconds: float = 2.0):
     return model.init(jax.random.key(0), patches)
 
 
+def cmd_serve(args):
+    """Run the HTTP streaming-inference service (T11 as a deployable
+    endpoint: open/feed/scores/flush/close per stream, one batched device
+    program per tick across all open streams)."""
+    cfg = _load_cfg(args)
+    from mla_tpu.serve.http import create_server
+
+    variables = _load_variables(args, cfg)
+    srv = create_server(cfg, variables, port=args.port, host=args.host,
+                        max_streams=args.max_streams)
+    host, port = srv.server_address[:2]
+    print(f"serving {cfg.model.variant} on http://{host}:{port}/v1 "
+          f"(max_streams={args.max_streams})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
 def cmd_export(args):
     """Serialize the compiled waveform->probs forward (weights baked) to a
     portable StableHLO artifact (deployment tier of C15/T11)."""
@@ -288,6 +308,16 @@ def main(argv=None):
                     help="AudioSet class_labels_indices.csv for display names")
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
+
+    ss = sub.add_parser("serve", help="HTTP streaming-inference service")
+    ss.add_argument("--config", default="streaming_inference")
+    ss.add_argument("--workspace", default=None)
+    ss.add_argument("--checkpoint", default="latest")
+    ss.add_argument("--host", default="127.0.0.1")
+    ss.add_argument("--port", type=int, default=8000)
+    ss.add_argument("--max_streams", type=int, default=8)
+    ss.add_argument("--set", nargs="*")
+    ss.set_defaults(fn=cmd_serve)
 
     sx = sub.add_parser("export", help="AOT-export waveform->probs to StableHLO")
     sx.add_argument("--config", default="streaming_inference")

@@ -16,18 +16,8 @@ from scipy.io import wavfile as _wavfile
 from scipy.signal import resample_poly as _resample_poly
 
 
-def read_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a wav file -> (float32 waveform in [-1, 1], sample_rate).
-    Integer PCM is scaled by its dtype range; multi-channel is mean-downmixed
-    to mono (the reference pipeline is mono 16 kHz).
-
-    Uses the native C++ decoder (data.native) when built; scipy fallback."""
-    from mla_tpu.data import native
-
-    if native.available():
-        with open(path, "rb") as f:
-            return native.wav_decode(f.read())
-    sr, data = _wavfile.read(path)
+def _pcm_to_float_mono(data: np.ndarray) -> np.ndarray:
+    """Integer PCM scaled by its dtype range; multi-channel mean-downmixed."""
     if data.dtype == np.int16:
         x = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:
@@ -38,7 +28,33 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
         x = data.astype(np.float32)
     if x.ndim == 2:
         x = x.mean(axis=1)
-    return x, int(sr)
+    return x
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a wav file -> (float32 waveform in [-1, 1], sample_rate);
+    mono 16 kHz is the reference pipeline's contract.
+
+    Uses the native C++ decoder (data.native) when built; scipy fallback."""
+    from mla_tpu.data import native
+
+    if native.available():
+        with open(path, "rb") as f:
+            return native.wav_decode(f.read())
+    sr, data = _wavfile.read(path)
+    return _pcm_to_float_mono(data), int(sr)
+
+
+def read_wav_bytes(data: bytes) -> tuple[np.ndarray, int]:
+    """In-memory wav decode (the HTTP serving path receives file bytes)."""
+    from mla_tpu.data import native
+
+    if native.available():
+        return native.wav_decode(data)
+    import io as _io
+
+    sr, raw = _wavfile.read(_io.BytesIO(data))
+    return _pcm_to_float_mono(raw), int(sr)
 
 
 def resample(x: np.ndarray, sr: int, target_sr: int) -> np.ndarray:

@@ -1,0 +1,188 @@
+"""HTTP front for the batched streaming server (T11 as a deployable
+service; the reference's C15 is a script-only ``inference`` call).
+
+Stdlib-only (http.server) so the serving tier adds zero dependencies; all
+device work stays in ``BatchedStreamingServer`` (one masked batched XLA
+program per tick, O(1) per-stream attention state). Requests are
+serialized with a lock — the device program is single-stream anyway, and
+batching happens across OPEN streams per tick, not across HTTP requests.
+
+API (JSON unless noted):
+    POST   /v1/streams                      -> {"sid": int}
+    POST   /v1/streams/<sid>/audio          raw f32 LE PCM (octet-stream)
+                                            or a WAV file (audio/wav)
+                                            -> {"fed_samples", "advanced"}
+    POST   /v1/streams/<sid>/flush          -> {"flushed": bool}
+    GET    /v1/streams/<sid>/scores?top_k=5 -> {"top_k": [[label, p], ...]}
+    DELETE /v1/streams/<sid>                -> {"closed": true}
+    GET    /v1/healthz                      -> {"ok": true, ...}
+
+    srv = create_server(cfg, variables, port=0)   # port 0 = ephemeral
+    srv.serve_forever()                            # or in a thread
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+import numpy as np
+
+from mla_tpu.config import Config
+from mla_tpu.data.labels import labels_for
+from mla_tpu.serve.server import BatchedStreamingServer
+
+_STREAM_RE = re.compile(r"^/v1/streams/(\d+)(?:/(audio|flush|scores))?$")
+
+
+def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarray:
+    """WAV bytes or raw float32 little-endian PCM -> float32 samples."""
+    if content_type.startswith("audio/wav") or body[:4] == b"RIFF":
+        from mla_tpu.data import audio_io
+
+        wav, sr = audio_io.read_wav_bytes(body)
+        if sr != sample_rate:
+            wav = audio_io.resample(wav, sr, sample_rate)
+        return wav
+    if len(body) % 4:
+        raise ValueError("raw PCM body length must be a multiple of 4 (float32 LE)")
+    return np.frombuffer(body, dtype="<f4").astype(np.float32)
+
+
+class _TaggerState:
+    """Shared state behind the handler: the device server + a lock."""
+
+    def __init__(self, cfg: Config, variables: Dict, max_streams: int,
+                 chunk_patches: int):
+        self.cfg = cfg
+        self.server = BatchedStreamingServer(
+            cfg, variables, max_streams=max_streams, chunk_patches=chunk_patches
+        )
+        self.labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
+        self.lock = threading.Lock()
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _TaggerState  # set by create_server on the subclass
+
+    # silence the default per-request stderr lines (service logs go to the
+    # caller's logging setup, not the socket handler)
+    def log_message(self, fmt, *args):  # pragma: no cover - cosmetic
+        pass
+
+    def _reply(self, code: int, obj: Dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _error(self, code: int, msg: str):
+        self._reply(code, {"error": msg})
+
+    def _read_body(self) -> bytes:
+        n = int(self.headers.get("Content-Length") or 0)
+        return self.rfile.read(n) if n else b""
+
+    def do_GET(self):
+        st = self.state
+        if self.path.startswith("/v1/healthz"):
+            with st.lock:
+                open_n = sum(b is not None for b in st.server._bufs)
+            self._reply(200, {"ok": True, "open_streams": open_n,
+                              "max_streams": st.server.S,
+                              "variant": st.cfg.model.variant})
+            return
+        m = _STREAM_RE.match(self.path.split("?")[0])
+        if m and m.group(2) == "scores":
+            sid = int(m.group(1))
+            top_k = 5
+            if "?" in self.path and "top_k=" in self.path:
+                try:
+                    top_k = int(self.path.split("top_k=")[1].split("&")[0])
+                except ValueError:
+                    pass
+            try:
+                with st.lock:
+                    scores = st.server.scores(sid)
+            except (KeyError, RuntimeError) as e:
+                self._error(409 if isinstance(e, RuntimeError) else 404, str(e))
+                return
+            order = np.argsort(-scores)[:top_k]
+            self._reply(200, {"top_k": [[st.labels[i], float(scores[i])] for i in order]})
+            return
+        self._error(404, f"no route {self.path}")
+
+    def do_POST(self):
+        st = self.state
+        if self.path == "/v1/streams":
+            try:
+                with st.lock:
+                    sid = st.server.open()
+            except RuntimeError as e:
+                self._error(503, str(e))
+                return
+            self._reply(200, {"sid": sid, "chunk_samples": st.server.chunk_samples})
+            return
+        m = _STREAM_RE.match(self.path)
+        if m and m.group(2) == "audio":
+            sid = int(m.group(1))
+            body = self._read_body()
+            try:
+                samples = _decode_audio(body, self.headers.get("Content-Type", ""),
+                                        st.cfg.frontend.sample_rate)
+            except ValueError as e:
+                self._error(400, str(e))
+                return
+            try:
+                with st.lock:
+                    st.server.feed(sid, samples)
+                    advanced = st.server.drain()
+            except KeyError as e:
+                self._error(404, str(e))
+                return
+            self._reply(200, {"fed_samples": int(len(samples)), "advanced": advanced})
+            return
+        if m and m.group(2) == "flush":
+            sid = int(m.group(1))
+            try:
+                with st.lock:
+                    flushed = st.server.flush(sid)
+            except KeyError as e:
+                self._error(404, str(e))
+                return
+            self._reply(200, {"flushed": bool(flushed)})
+            return
+        self._error(404, f"no route {self.path}")
+
+    def do_DELETE(self):
+        m = _STREAM_RE.match(self.path)
+        if m and m.group(2) is None:
+            sid = int(m.group(1))
+            try:
+                with self.state.lock:
+                    self.state.server.close(sid)
+            except KeyError as e:
+                self._error(404, str(e))
+                return
+            self._reply(200, {"closed": True})
+            return
+        self._error(404, f"no route {self.path}")
+
+
+def create_server(
+    cfg: Config,
+    variables: Dict,
+    port: int = 8000,
+    host: str = "127.0.0.1",
+    max_streams: int = 8,
+    chunk_patches: int = 5,
+) -> ThreadingHTTPServer:
+    """Build the HTTP server (not yet serving; call .serve_forever())."""
+    state = _TaggerState(cfg, variables, max_streams, chunk_patches)
+    handler = type("Handler", (_Handler,), {"state": state})
+    return ThreadingHTTPServer((host, port), handler)

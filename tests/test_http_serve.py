@@ -1,0 +1,112 @@
+"""HTTP streaming service (serve/http.py): full stream lifecycle over a
+real socket, wav and raw-PCM bodies, parity with the in-process tagger."""
+
+import dataclasses
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mla_tpu.config import Config, ModelConfig
+from mla_tpu.data.labels import labels_for
+from mla_tpu.models.zoo import build_model
+from mla_tpu.ops.frontend import waveform_to_patches
+from mla_tpu.serve.http import create_server
+from mla_tpu.serve.streaming import StreamingTagger, _samples_per_patches
+
+
+def _req(base, method, path, body=None, ctype="application/octet-stream"):
+    req = urllib.request.Request(base + path, data=body, method=method)
+    if body is not None:
+        req.add_header("Content-Type", ctype)
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read().decode())
+
+
+@pytest.fixture(scope="module")
+def served():
+    cfg = Config(
+        name="http_test",
+        model=ModelConfig(variant="single_attention", trunk="cnn", n_classes=10,
+                          n_blocks=1, hidden_units=48, conv_channels=(8, 16),
+                          convs_per_stage=1, compute_dtype="float32"),
+        data=dataclasses.replace(Config().data, dataset="synthetic_us8k"),
+    )
+    model = build_model(cfg.model)
+    wav = (np.random.default_rng(5).standard_normal(16000 * 12) * 0.1).astype(np.float32)
+    patches = waveform_to_patches(jnp.asarray(wav[:32000])[None], cfg.frontend)
+    variables = model.init(jax.random.key(0), patches)
+    srv = create_server(cfg, variables, port=0, max_streams=3, chunk_patches=3)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    host, port = srv.server_address[:2]
+    yield cfg, variables, wav, f"http://{host}:{port}"
+    srv.shutdown()
+
+
+def test_healthz(served):
+    _, _, _, base = served
+    h = _req(base, "GET", "/v1/healthz")
+    assert h["ok"] is True and h["max_streams"] == 3
+
+
+def test_stream_lifecycle_and_parity(served):
+    cfg, variables, wav, base = served
+    n = _samples_per_patches(cfg.frontend, 6)  # 2 chunks of 3 patches
+    audio = wav[:n]
+
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    # feed raw f32 PCM in two odd-sized blocks
+    cut = 50_000
+    r1 = _req(base, "POST", f"/v1/streams/{sid}/audio", audio[:cut].tobytes())
+    r2 = _req(base, "POST", f"/v1/streams/{sid}/audio", audio[cut:].tobytes())
+    assert r1["fed_samples"] == cut and r2["advanced"] >= 1
+    scores = _req(base, "GET", f"/v1/streams/{sid}/scores?top_k=3")
+    assert len(scores["top_k"]) == 3
+
+    # parity with the in-process tagger on the same audio
+    single = StreamingTagger(cfg, variables, chunk_patches=3)
+    single.feed(audio)
+    want = single.top_k(3)
+    got = [(name, p) for name, p in scores["top_k"]]
+    names = labels_for(cfg.data.dataset, cfg.model.n_classes)
+    assert [g[0] for g in got] == [names[i] for i, _ in want]
+    np.testing.assert_allclose([g[1] for g in got], [p for _, p in want],
+                               rtol=1e-4, atol=1e-5)
+    assert _req(base, "DELETE", f"/v1/streams/{sid}")["closed"] is True
+
+
+def test_wav_body_and_flush(served, tmp_path):
+    cfg, _, wav, base = served
+    from mla_tpu.data import audio_io
+
+    p = tmp_path / "clip.wav"
+    audio_io.write_wav(str(p), wav[: 16000 * 2], 16000)
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    r = _req(base, "POST", f"/v1/streams/{sid}/audio", p.read_bytes(), "audio/wav")
+    assert r["fed_samples"] == 16000 * 2
+    assert _req(base, "POST", f"/v1/streams/{sid}/flush")["flushed"] is True
+    scores = _req(base, "GET", f"/v1/streams/{sid}/scores")
+    assert np.isfinite([p for _, p in scores["top_k"]]).all()
+    _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
+def test_error_paths(served):
+    _, _, _, base = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", "/v1/streams/99/scores")
+    assert e.value.code == 404
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "GET", f"/v1/streams/{sid}/scores")  # nothing processed yet
+    assert e.value.code == 409
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "POST", f"/v1/streams/{sid}/audio", b"abc")  # not mult of 4
+    assert e.value.code == 400
+    _req(base, "DELETE", f"/v1/streams/{sid}")
