@@ -66,8 +66,19 @@ def cmd_configs(_args):
 
 def cmd_prep(args):
     """Build the configured (synthetic) dataset and pack it to HDF5 (C1+C2),
-    or pack real AudioSet TFRecords with --tfrecords=<glob>."""
+    pack real AudioSet TFRecords with --tfrecords=<glob>, or a local wav
+    corpus (ESC-50 / US8K style) with --wav_dir [--labels_csv]."""
     cfg = _load_cfg(args)
+    if args.wav_dir:
+        from mla_tpu.data.folder import pack_folder
+
+        n, classes = pack_folder(
+            args.wav_dir, args.out, cfg.data.clip_seconds,
+            cfg.frontend.sample_rate, labels_csv=args.labels_csv,
+            n_classes=cfg.model.n_classes,
+        )
+        print(f"packed {n} clips / {len(classes)} classes -> {args.out}")
+        return
     if args.tfrecords:
         from mla_tpu.data.audioset import pack_audioset
 
@@ -259,6 +270,10 @@ def main(argv=None):
     sp.add_argument("--quantize", action="store_true")
     sp.add_argument("--tfrecords", default=None,
                     help="glob of AudioSet SequenceExample tfrecord shards")
+    sp.add_argument("--wav_dir", default=None,
+                    help="local wav corpus root (class subdirs or --labels_csv)")
+    sp.add_argument("--labels_csv", default=None,
+                    help="ESC-50/US8K-style metadata CSV for --wav_dir")
     sp.add_argument("--set", nargs="*")
     sp.set_defaults(fn=cmd_prep)
 

@@ -1,0 +1,116 @@
+"""Local wav-folder ingest (reference C1's dataset prep for on-disk audio:
+ESC-50 / UrbanSound8K style corpora — SURVEY.md §2.1; the download step is
+impossible in this zero-egress environment, but packing a locally mounted
+corpus is not).
+
+Two labeling conventions:
+  - class subdirectories:  root/<class_name>/*.wav
+  - a metadata CSV (ESC-50 ``meta/esc50.csv`` style): one row per file with
+    a filename column and either an integer target column or a category
+    name column; extra columns are ignored.
+
+Output is the reference HDF5 layout (data.hdf5): fixed-length float32
+waveforms [N, samples] + bool multi-hot labels [N, C] + ids, ready for
+``DataConfig(dataset="hdf5", hdf5_path=...)`` training. Decoding uses the
+native C++ wav decoder when built (data.native), scipy otherwise; clips
+are resampled to the front-end rate and padded/trimmed to a fixed length
+(XLA static shapes)."""
+
+from __future__ import annotations
+
+import csv
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from mla_tpu.data import audio_io, hdf5
+
+
+def _scan_subdirs(root: str) -> Tuple[List[str], List[str]]:
+    """root/<class>/*.wav -> (paths, class_name per path)."""
+    paths, names = [], []
+    for entry in sorted(os.listdir(root)):
+        sub = os.path.join(root, entry)
+        if not os.path.isdir(sub):
+            continue
+        for fn in sorted(os.listdir(sub)):
+            if fn.lower().endswith(".wav"):
+                paths.append(os.path.join(sub, fn))
+                names.append(entry)
+    return paths, names
+
+
+def _scan_csv(root: str, labels_csv: str) -> Tuple[List[str], List[str]]:
+    """Metadata CSV -> (paths, class_name per path). Column detection:
+    'filename' (or the first column) names the file; 'category'/'label'/
+    'class' names the class, else an integer 'target' column."""
+    with open(labels_csv, newline="") as f:
+        rows = list(csv.DictReader(f))
+    if not rows:
+        raise ValueError(f"{labels_csv}: empty metadata CSV")
+    cols = rows[0].keys()
+    fn_col = next((c for c in cols if c.lower() in ("filename", "file", "slice_file_name")),
+                  next(iter(cols)))
+    name_col = next((c for c in cols if c.lower() in ("category", "label", "class")), None)
+    target_col = next((c for c in cols if c.lower() in ("target", "classid", "class_id")), None)
+    if name_col is None and target_col is None:
+        raise ValueError(
+            f"{labels_csv}: need a category/label/class or target/classID column, "
+            f"have {sorted(cols)}"
+        )
+    paths, names = [], []
+    for r in rows:
+        p = os.path.join(root, r[fn_col])
+        if not os.path.exists(p):  # US8K nests under fold dirs
+            folds = [d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))]
+            p = next((os.path.join(root, d, r[fn_col]) for d in folds
+                      if os.path.exists(os.path.join(root, d, r[fn_col]))), p)
+        paths.append(p)
+        names.append(r[name_col] if name_col else f"class_{int(r[target_col])}")
+    return paths, names
+
+
+def scan_folder(
+    root: str, labels_csv: Optional[str] = None
+) -> Tuple[List[str], np.ndarray, List[str]]:
+    """-> (wav paths, int label per path, sorted class names)."""
+    paths, names = (_scan_csv(root, labels_csv) if labels_csv else _scan_subdirs(root))
+    if not paths:
+        raise ValueError(f"no wav files found under {root}")
+    classes = sorted(set(names))
+    index: Dict[str, int] = {c: i for i, c in enumerate(classes)}
+    y = np.array([index[n] for n in names], np.int64)
+    return paths, y, classes
+
+
+def pack_folder(
+    root: str,
+    out_path: str,
+    clip_seconds: float,
+    sample_rate: int = 16000,
+    labels_csv: Optional[str] = None,
+    n_classes: Optional[int] = None,
+) -> Tuple[int, List[str]]:
+    """Pack a wav folder into the reference HDF5 layout; returns
+    (n_clips, class_names). Clips are resampled to ``sample_rate`` and
+    zero-padded / center-trimmed to ``clip_seconds`` (static shapes)."""
+    paths, y_idx, classes = scan_folder(root, labels_csv)
+    c = n_classes or len(classes)
+    if c < len(classes):
+        raise ValueError(f"n_classes={c} < {len(classes)} classes found")
+    n_samples = int(round(clip_seconds * sample_rate))
+    x = np.zeros((len(paths), n_samples), np.float32)
+    y = np.zeros((len(paths), c), bool)
+    ids = []
+    for i, (p, k) in enumerate(zip(paths, y_idx)):
+        wav = audio_io.load_wav_16k(p, sample_rate)
+        if len(wav) >= n_samples:  # center crop long clips
+            s = (len(wav) - n_samples) // 2
+            x[i] = wav[s : s + n_samples]
+        else:
+            x[i, : len(wav)] = wav
+        y[i, int(k)] = True
+        ids.append(os.path.basename(p).encode())
+    hdf5.pack_hdf5(out_path, x, y, np.asarray(ids, dtype="S"))
+    return len(paths), classes

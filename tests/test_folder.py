@@ -1,0 +1,100 @@
+"""Local wav-folder ingest (data/folder.py): both labeling conventions,
+HDF5 round-trip into training, and the prep CLI path."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from mla_tpu.data import audio_io, hdf5
+from mla_tpu.data.folder import pack_folder, scan_folder
+
+
+def _make_corpus(root, per_class=3, seconds=1.2, sr=16000, classes=("dog", "rain")):
+    rng = np.random.default_rng(0)
+    for c in classes:
+        d = root / c
+        d.mkdir(parents=True)
+        for i in range(per_class):
+            wav = (rng.standard_normal(int(seconds * sr)) * 0.1).astype(np.float32)
+            audio_io.write_wav(str(d / f"{c}_{i}.wav"), wav, sr)
+
+
+def test_scan_subdir_convention(tmp_path):
+    _make_corpus(tmp_path, per_class=2)
+    paths, y, classes = scan_folder(str(tmp_path))
+    assert classes == ["dog", "rain"] and len(paths) == 4
+    assert y.tolist() == [0, 0, 1, 1]
+
+
+def test_scan_csv_convention(tmp_path):
+    _make_corpus(tmp_path, per_class=1)
+    # ESC-50-style meta: filename relative to root (files live in subdirs,
+    # so reference them with the subdir)
+    meta = tmp_path / "meta.csv"
+    meta.write_text(
+        "filename,fold,target,category\n"
+        "dog/dog_0.wav,1,0,dog\n"
+        "rain/rain_0.wav,1,1,rain\n"
+    )
+    paths, y, classes = scan_folder(str(tmp_path), str(meta))
+    assert classes == ["dog", "rain"] and y.tolist() == [0, 1]
+
+
+def test_pack_folder_roundtrip_and_lengths(tmp_path):
+    _make_corpus(tmp_path / "corpus", per_class=2, seconds=1.5)
+    out = str(tmp_path / "pack.h5")
+    n, classes = pack_folder(str(tmp_path / "corpus"), out, clip_seconds=1.0)
+    assert n == 4 and classes == ["dog", "rain"]
+    x, y, ids = hdf5.load_data(out)
+    assert x.shape == (4, 16000)  # center-trimmed to clip_seconds
+    assert y.shape == (4, 2) and (y.sum(1) == 1).all()
+    assert ids[0] == b"dog_0.wav"
+    # short clips are zero-padded
+    n2, _ = pack_folder(str(tmp_path / "corpus"), out, clip_seconds=2.0)
+    x2, _, _ = hdf5.load_data(out)
+    assert x2.shape == (4, 32000) and (np.abs(x2[:, -1000:]) < 1e-6).all()
+
+
+def test_pack_folder_trains_via_hdf5_config(tmp_path):
+    """The packed corpus drives fit() through the hdf5 dataset path."""
+    from mla_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from mla_tpu.train.loop import fit
+
+    _make_corpus(tmp_path / "corpus", per_class=4, seconds=2.2)
+    train_h5 = str(tmp_path / "train.h5")
+    pack_folder(str(tmp_path / "corpus"), train_h5, clip_seconds=2.0)
+    cfg = Config(
+        name="folder_train", workspace=str(tmp_path / "ws"),
+        model=ModelConfig(variant="single_attention", trunk="cnn", n_classes=2,
+                          n_blocks=1, hidden_units=32, conv_channels=(8,),
+                          convs_per_stage=1, compute_dtype="float32"),
+        data=DataConfig(dataset="hdf5", hdf5_path=train_h5, eval_hdf5_path=train_h5,
+                        clip_seconds=2.0),
+        train=TrainConfig(batch_size=4, num_steps=6, eval_every=6,
+                          checkpoint_every=6, log_every=2, data_parallel=1),
+    )
+    res = fit(cfg, log=False)
+    assert np.isfinite(res.history[-1]["loss"])
+
+
+def test_prep_cli_wav_dir(tmp_path, capsys):
+    from mla_tpu.__main__ import main
+
+    _make_corpus(tmp_path / "corpus", per_class=1)
+    out = str(tmp_path / "cli.h5")
+    main(["prep", f"--out={out}", f"--wav_dir={tmp_path / 'corpus'}",
+          "--set", "data.clip_seconds=1.0", "model.n_classes=2"])
+    assert "packed 2 clips / 2 classes" in capsys.readouterr().out
+    x, y, _ = hdf5.load_data(out)
+    assert x.shape == (2, 16000)
+
+
+def test_scan_errors(tmp_path):
+    (tmp_path / "empty").mkdir()
+    with pytest.raises(ValueError, match="no wav"):
+        scan_folder(str(tmp_path / "empty"))
+    bad = tmp_path / "bad.csv"
+    bad.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="column"):
+        scan_folder(str(tmp_path), str(bad))
