@@ -10,6 +10,7 @@ prep, feature extraction, train, eval, inference).
     python -m mla_tpu infer    --config=... --wav=a.wav [--stream]
     python -m mla_tpu export   --config=... --out=model.mlax (AOT StableHLO)
     python -m mla_tpu serve    --config=... --port=8000 (HTTP streaming service)
+    python -m mla_tpu profile  --config=... --out=/tmp/trace (profiler trace)
     python -m mla_tpu parity   (reference-parity harness, T12)
     python -m mla_tpu configs
 
@@ -225,6 +226,51 @@ def _load_variables(args, cfg, sample_wav_seconds: float = 2.0):
     return model.init(jax.random.key(0), patches)
 
 
+def cmd_profile(args):
+    """Capture a jax.profiler trace of the configured train step (SURVEY.md
+    §5 tracing row): compile once, run --steps steps inside one trace
+    (TensorBoard/Perfetto-compatible), report axon-aware wall timings +
+    device memory stats as one JSON line."""
+    cfg = _load_cfg(args)
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.data.synthetic import make_dataset
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops.frontend import waveform_to_patches
+    from mla_tpu.train.state import create_train_state, make_train_step
+    from mla_tpu.utils import profiling
+
+    kind = "features" if cfg.model.trunk == "none" else "waveform"
+    ds = make_dataset(cfg.data, cfg.model.n_classes, "train", cfg.frontend, kind)
+    bs = min(args.batch or cfg.train.batch_size, len(ds.x))
+    x = jnp.asarray(ds.x[:bs])
+    y = jnp.asarray(ds.y[:bs], jnp.float32)
+    model = build_model(cfg.model)
+    sample = waveform_to_patches(x, cfg.frontend) if kind == "waveform" else x
+    state = create_train_state(cfg, model, sample)
+    step = jax.jit(make_train_step(cfg, model, kind), donate_argnums=(0,))
+    state, loss = step(state, x, y)
+    np.asarray(loss)  # compile + sync OUTSIDE the trace
+    with profiling.trace(args.out) as trace_dir:
+        t0 = _time.perf_counter()
+        for _ in range(args.steps):
+            state, loss = step(state, x, y)
+        np.asarray(loss)  # host fetch = the only real barrier on axon
+        dt = _time.perf_counter() - t0
+    print(_jdump({
+        "trace_dir": trace_dir,
+        "steps": args.steps,
+        "batch": bs,
+        "mean_step_ms": round(dt / args.steps * 1e3, 3),
+        "clips_per_sec": round(bs * args.steps / dt, 1),
+        "memory": {k: v for k, v in profiling.memory_stats().items()
+                   if "bytes" in k},
+    }))
+
+
 def cmd_serve(args):
     """Run the HTTP streaming-inference service (T11 as a deployable
     endpoint: open/feed/scores/flush/close per stream, one batched device
@@ -323,6 +369,14 @@ def main(argv=None):
                     help="AudioSet class_labels_indices.csv for display names")
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
+
+    spr = sub.add_parser("profile", help="trace the train step (jax.profiler)")
+    spr.add_argument("--config", default="esc50_single_attention")
+    spr.add_argument("--out", default="/tmp/mla_tpu_trace")
+    spr.add_argument("--steps", type=int, default=10)
+    spr.add_argument("--batch", type=int, default=None)
+    spr.add_argument("--set", nargs="*")
+    spr.set_defaults(fn=cmd_profile)
 
     ss = sub.add_parser("serve", help="HTTP streaming-inference service")
     ss.add_argument("--config", default="streaming_inference")

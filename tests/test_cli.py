@@ -65,3 +65,21 @@ def test_infer_cli(tmp_path, capsys):
     main(["infer", "--stream"] + common)
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(out2["top_k"]) == 5
+
+
+def test_profile_cli(tmp_path, capsys):
+    import json
+    import os
+
+    from mla_tpu.__main__ import main
+
+    out = str(tmp_path / "trace")
+    main(["profile", "--config=esc50_single_attention", f"--out={out}",
+          "--steps=2", "--batch=2",
+          "--set", "model.conv_channels=8", "model.hidden_units=16",
+          "data.n_train_clips=4", "data.clip_seconds=2.0"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["steps"] == 2 and rep["mean_step_ms"] > 0
+    # the trace dump actually landed on disk
+    found = [f for _, _, fs in os.walk(out) for f in fs]
+    assert found, "profiler trace produced no files"
