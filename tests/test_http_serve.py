@@ -97,6 +97,42 @@ def test_wav_body_and_flush(served, tmp_path):
     _req(base, "DELETE", f"/v1/streams/{sid}")
 
 
+def test_concurrent_clients(served):
+    """Two client threads on separate streams interleave feeds through the
+    ThreadingHTTPServer; the device-server lock must keep results identical
+    to a serial run."""
+    cfg, variables, wav, base = served
+    n = _samples_per_patches(cfg.frontend, 3)
+    audios = [wav[:n], (wav[:n] * 0.5).astype(np.float32)]
+    sids = [_req(base, "POST", "/v1/streams")["sid"] for _ in audios]
+    errs = []
+
+    def client(sid, audio):
+        try:
+            for s in range(0, len(audio), 9999):
+                _req(base, "POST", f"/v1/streams/{sid}/audio",
+                     audio[s : s + 9999].tobytes())
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    ts = [threading.Thread(target=client, args=(sid, a))
+          for sid, a in zip(sids, audios)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    for sid, audio in zip(sids, audios):
+        got = _req(base, "GET", f"/v1/streams/{sid}/scores?top_k=10")
+        single = StreamingTagger(cfg, variables, chunk_patches=3)
+        single.feed(audio)
+        want = dict(single.top_k(10))
+        names = labels_for(cfg.data.dataset, cfg.model.n_classes)
+        for name, p in got["top_k"]:
+            np.testing.assert_allclose(p, want[names.index(name)], rtol=1e-4, atol=1e-5)
+        _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
 def test_error_paths(served):
     _, _, _, base = served
     with pytest.raises(urllib.error.HTTPError) as e:
