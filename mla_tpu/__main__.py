@@ -280,7 +280,8 @@ def cmd_serve(args):
 
     variables = _load_variables(args, cfg)
     srv = create_server(cfg, variables, port=args.port, host=args.host,
-                        max_streams=args.max_streams)
+                        max_streams=args.max_streams,
+                        transfer_dtype=args.transfer_dtype)
     host, port = srv.server_address[:2]
     print(f"serving {cfg.model.variant} on http://{host}:{port}/v1 "
           f"(max_streams={args.max_streams})", flush=True)
@@ -385,6 +386,8 @@ def main(argv=None):
     ss.add_argument("--host", default="127.0.0.1")
     ss.add_argument("--port", type=int, default=8000)
     ss.add_argument("--max_streams", type=int, default=8)
+    ss.add_argument("--transfer_dtype", default="int16", choices=["int16", "float32"],
+                    help="wire/device-transfer dtype; int16 halves host->device bytes")
     ss.add_argument("--set", nargs="*")
     ss.set_defaults(fn=cmd_serve)
 

@@ -56,10 +56,11 @@ class _TaggerState:
     """Shared state behind the handler: the device server + a lock."""
 
     def __init__(self, cfg: Config, variables: Dict, max_streams: int,
-                 chunk_patches: int):
+                 chunk_patches: int, transfer_dtype: str):
         self.cfg = cfg
         self.server = BatchedStreamingServer(
-            cfg, variables, max_streams=max_streams, chunk_patches=chunk_patches
+            cfg, variables, max_streams=max_streams, chunk_patches=chunk_patches,
+            transfer_dtype=transfer_dtype,
         )
         self.labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
         self.lock = threading.Lock()
@@ -181,8 +182,12 @@ def create_server(
     host: str = "127.0.0.1",
     max_streams: int = 8,
     chunk_patches: int = 5,
+    transfer_dtype: str = "int16",
 ) -> ThreadingHTTPServer:
-    """Build the HTTP server (not yet serving; call .serve_forever())."""
-    state = _TaggerState(cfg, variables, max_streams, chunk_patches)
+    """Build the HTTP server (not yet serving; call .serve_forever()).
+    transfer_dtype="int16" (default) ships PCM16 to the device and
+    dequantizes there — half the host->device bytes for a <1/32768 input
+    quantization the scores don't notice."""
+    state = _TaggerState(cfg, variables, max_streams, chunk_patches, transfer_dtype)
     handler = type("Handler", (_Handler,), {"state": state})
     return ThreadingHTTPServer((host, port), handler)

@@ -41,9 +41,17 @@ class BatchedStreamingServer:
     """
 
     def __init__(self, cfg: Config, variables: Dict, max_streams: int = 8,
-                 chunk_patches: int = 5):
+                 chunk_patches: int = 5, transfer_dtype: str = "float32"):
         if cfg.model.variant not in STREAMING_VARIANTS:
             raise ValueError(f"streaming needs an attention variant, got {cfg.model.variant!r}")
+        if transfer_dtype not in ("float32", "int16"):
+            raise ValueError(f"transfer_dtype must be float32|int16, got {transfer_dtype!r}")
+        # "int16": buffer and ship PCM16, dequantize ON DEVICE — halves
+        # host->device bytes (the wire format audio arrives in anyway;
+        # quantization error 1/32768 is far below the front-end's parity
+        # budget). Production default for transfer-bound hosts.
+        self.transfer_dtype = transfer_dtype
+        self._buf_dtype = np.int16 if transfer_dtype == "int16" else np.float32
         self.cfg = cfg
         self.model = build_model(cfg.model)
         self.variables = variables
@@ -60,12 +68,15 @@ class BatchedStreamingServer:
         self.states = [ap.init_stream_state((self.S, c)) for _ in range(self._n_levels)]
 
         def batched_step(states, wav, active, n_valid):
-            """wav [S, chunk_samples]; active [S] bool — fold only active
-            rows; n_valid [S] int — per-stream count of REAL patches in the
-            chunk (a flush pads the tail with zeros; padded patches get gate
-            logits of -inf so they contribute nothing — exact for every gate
+            """wav [S, chunk_samples] (f32, or PCM16 dequantized here on
+            device); active [S] bool — fold only active rows; n_valid [S]
+            int — per-stream count of REAL patches in the chunk (a flush
+            pads the tail with zeros; padded patches get gate logits of
+            -inf so they contribute nothing — exact for every gate
             activation, which all map -inf to 0). One static-shape program
             serves both regular ticks (n_valid = chunk_patches) and flushes."""
+            if wav.dtype == jnp.int16:
+                wav = wav.astype(jnp.float32) / 32768.0
             patches = fe.apply_frontend(wav, cfg.frontend)  # [S, P, 96, 64]
             levels = self.model.apply(self.variables, patches, method="segment_logits")
             p = patches.shape[1]
@@ -95,7 +106,7 @@ class BatchedStreamingServer:
     def open(self) -> int:
         for sid in range(self.S):
             if self._bufs[sid] is None:
-                self._bufs[sid] = np.zeros(0, np.float32)
+                self._bufs[sid] = np.zeros(0, self._buf_dtype)
                 self._reset_slot(sid)
                 return sid
         raise RuntimeError(f"all {self.S} stream slots busy")
@@ -123,11 +134,20 @@ class BatchedStreamingServer:
             raise KeyError(f"stream {sid} is not open")
 
     # --- data path ---
+    def _coerce(self, samples: np.ndarray) -> np.ndarray:
+        """Incoming float32 [-1,1] or PCM16 -> the configured buffer dtype."""
+        samples = np.asarray(samples)
+        if samples.dtype == self._buf_dtype:
+            return samples
+        if self._buf_dtype == np.int16:
+            return np.asarray(np.clip(samples, -1.0, 1.0) * 32767.0, np.int16)
+        if samples.dtype == np.int16:
+            return samples.astype(np.float32) / 32768.0
+        return np.asarray(samples, np.float32)
+
     def feed(self, sid: int, samples: np.ndarray):
         self._check(sid)
-        self._bufs[sid] = np.concatenate(
-            [self._bufs[sid], np.asarray(samples, np.float32)]
-        )
+        self._bufs[sid] = np.concatenate([self._bufs[sid], self._coerce(samples)])
 
     def pending(self, sid: int) -> int:
         self._check(sid)
@@ -141,7 +161,7 @@ class BatchedStreamingServer:
         )
         if not active.any():
             return 0
-        wav = np.zeros((self.S, self.chunk_samples), np.float32)
+        wav = np.zeros((self.S, self.chunk_samples), self._buf_dtype)
         for sid in range(self.S):
             if active[sid]:
                 wav[sid] = self._bufs[sid][: self.chunk_samples]
@@ -180,11 +200,11 @@ class BatchedStreamingServer:
         n_valid_sid = _whole_patches(fcfg, len(buf))
         if n_valid_sid < 1:
             if self._fed[sid]:
-                self._bufs[sid] = np.zeros(0, np.float32)
+                self._bufs[sid] = np.zeros(0, self._buf_dtype)
                 return False
             n_valid_sid = 1  # lone sub-patch stream: zero-pad to one patch
         n_valid_sid = min(n_valid_sid, self.chunk_patches)
-        wav = np.zeros((self.S, self.chunk_samples), np.float32)
+        wav = np.zeros((self.S, self.chunk_samples), self._buf_dtype)
         wav[sid, : min(len(buf), self.chunk_samples)] = buf[: self.chunk_samples]
         active = np.zeros(self.S, bool)
         active[sid] = True
@@ -193,7 +213,7 @@ class BatchedStreamingServer:
             self.states, jnp.asarray(wav), jnp.asarray(active), jnp.asarray(n_valid)
         )
         self._fed[sid] = True
-        self._bufs[sid] = np.zeros(0, np.float32)
+        self._bufs[sid] = np.zeros(0, self._buf_dtype)
         return True
 
     def scores(self, sid: int) -> np.ndarray:

@@ -42,7 +42,10 @@ def served():
     wav = (np.random.default_rng(5).standard_normal(16000 * 12) * 0.1).astype(np.float32)
     patches = waveform_to_patches(jnp.asarray(wav[:32000])[None], cfg.frontend)
     variables = model.init(jax.random.key(0), patches)
-    srv = create_server(cfg, variables, port=0, max_streams=3, chunk_patches=3)
+    # float32 transfer for exact parity with the in-process tagger; the
+    # int16 production default is covered in test_server.py
+    srv = create_server(cfg, variables, port=0, max_streams=3, chunk_patches=3,
+                        transfer_dtype="float32")
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     host, port = srv.server_address[:2]

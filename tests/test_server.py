@@ -124,6 +124,32 @@ def test_server_multi_attention_variant(setup):
     np.testing.assert_allclose(srv.scores(sid), single.scores(), rtol=1e-4, atol=1e-5)
 
 
+def test_server_int16_transfer_matches_f32(setup):
+    """PCM16 wire mode (device-side dequant, half the host->device bytes):
+    scores match the float32 path to input-quantization tolerance, and raw
+    int16 feeds are accepted directly."""
+    cfg, variables, wav = setup
+    n = _samples_per_patches(cfg.frontend, 10)
+    audio = wav[:n]
+    f32 = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5)
+    i16 = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5,
+                                 transfer_dtype="int16")
+    a = f32.open(); f32.feed(a, audio); f32.drain()
+    b = i16.open(); i16.feed(b, audio); i16.drain()
+    np.testing.assert_allclose(i16.scores(b), f32.scores(a), atol=5e-3)
+    # raw PCM16 in == float32 in (mod one quantization round-trip)
+    i16b = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5,
+                                  transfer_dtype="int16")
+    c = i16b.open()
+    i16b.feed(c, np.asarray(np.clip(audio, -1, 1) * 32767.0, np.int16))
+    i16b.drain()
+    np.testing.assert_allclose(i16b.scores(c), i16.scores(b), atol=1e-6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="transfer_dtype"):
+        BatchedStreamingServer(cfg, variables, transfer_dtype="int8")
+
+
 def test_closed_then_reopened_slot_state_is_fresh(setup):
     cfg, variables, wav = setup
     srv = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5)
