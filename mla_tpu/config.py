@@ -131,6 +131,13 @@ class DataConfig:
     # "grain" = stateless Grain stream (T9 scale path: prefetch, shardable)
     pipeline: str = "numpy"
     grain_workers: int = 0  # >0 enables grain multiprocess prefetch
+    # Keep the whole training set HBM-resident and gather batches ON DEVICE
+    # by index (numpy pipeline only; auto-skipped above the byte budget).
+    # The reference loads all data to host RAM (C2); the TPU-native move is
+    # loading it to HBM once — per-step host->device traffic drops from the
+    # full waveform batch to one index vector.
+    device_resident: bool = True
+    device_resident_max_bytes: int = 2 * 1024**3
 
 
 @dataclass(frozen=True)
