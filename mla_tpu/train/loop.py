@@ -54,18 +54,32 @@ def _state_shardings(mesh, state: TrainState, hidden: int):
 
 
 def evaluate(cfg: Config, model, state: TrainState, ds: ArrayDataset,
-             eval_step, mesh) -> Dict[str, float]:
+             eval_step, mesh, x_device=None) -> Dict[str, float]:
     """Reference ``evaluate()``/``calculate_stats`` (SURVEY.md §3.3): forward
-    the eval set in batches, metrics on host."""
+    the eval set in batches, metrics on host. ``x_device`` (optional): the
+    eval features already HBM-resident — batches are then device-side
+    slices instead of per-eval uploads (same rationale as the train path's
+    device_resident gather)."""
     bs = max(cfg.train.batch_size, 1)
+    if x_device is not None and x_device.shape[0] < bs:
+        x_device = None  # too small to slice static batches from
     outs = []
     for idx in SequentialSampler(len(ds.x), bs):
-        x = ds.x[idx]
-        pad = bs - len(idx)
-        if pad:  # static batch shape for one compiled program
-            x = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
-        probs = np.asarray(eval_step(state, pmesh.shard_batch(x, mesh)))
-        outs.append(probs[: len(idx)])
+        if x_device is not None:
+            # static-size device-side slice; the last window is shifted back
+            # to stay in range and the overlap rows are dropped below
+            start = min(int(idx[0]), x_device.shape[0] - bs)
+            off = int(idx[0]) - start
+            x = jax.lax.dynamic_slice_in_dim(x_device, start, bs, 0)
+            probs = np.asarray(eval_step(state, pmesh.shard_batch(x, mesh)))
+            outs.append(probs[off : off + len(idx)])
+        else:
+            x = ds.x[idx]
+            pad = bs - len(idx)
+            if pad:  # static batch shape for one compiled program
+                x = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
+            probs = np.asarray(eval_step(state, pmesh.shard_batch(x, mesh)))
+            outs.append(probs[: len(idx)])
     scores = np.concatenate(outs)
     return calculate_stats(scores, ds.y)
 
@@ -148,7 +162,7 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         and not use_grain
         and data_bytes <= cfg.data.device_resident_max_bytes
     )
-    gather = x_all = y_all = None
+    gather = x_all = y_all = eval_x_dev = None
     if use_device_data:
         x_all = jax.device_put(jax.numpy.asarray(train_ds.x), pmesh.replicated(mesh))
         y_all = jax.device_put(
@@ -158,6 +172,10 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             lambda xs, ys, i: (jax.numpy.take(xs, i, 0), jax.numpy.take(ys, i, 0)),
             out_shardings=(bsh, ysh),
         )
+        if eval_ds.x.nbytes <= cfg.data.device_resident_max_bytes:
+            eval_x_dev = jax.device_put(
+                jax.numpy.asarray(eval_ds.x), pmesh.replicated(mesh)
+            )
         say(f"dataset HBM-resident ({data_bytes / 1e6:.0f} MB); device-side batch gather")
     ckpt = CheckpointManager(
         os.path.join(workspace, "checkpoints", cfg.name), keep=cfg.train.keep_checkpoints
@@ -217,7 +235,8 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             t_last = time.perf_counter()
             clips_done = 0
         if (step_i + 1) % cfg.train.eval_every == 0 or step_i + 1 == cfg.train.num_steps:
-            stats = evaluate(cfg, model, state, eval_ds, eval_step, mesh)
+            stats = evaluate(cfg, model, state, eval_ds, eval_step, mesh,
+                             x_device=eval_x_dev)
             stats["step"] = step_i + 1
             result.eval_stats.append(stats)
             writer.write(step_i + 1, {k: v for k, v in stats.items() if k != "step"})

@@ -190,6 +190,25 @@ def test_device_resident_matches_host_feed(tmp_path):
     np.testing.assert_allclose(l_dev, l_host, rtol=1e-6, atol=1e-7)
 
 
+def test_device_resident_eval_matches_host_eval(tmp_path):
+    """Device-resident eval slices must give identical metrics, including
+    the shifted last partial window."""
+    cfg = _tiny_cfg(tmp_path, steps=4)
+    # eval set of 18 with batch 16 -> one full window + a shifted partial
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, n_eval_clips=18),
+        train=dataclasses.replace(cfg.train, eval_every=4, checkpoint_every=100),
+    )
+    host = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, device_resident=False))
+    s_dev = fit(cfg, log=False).eval_stats[-1]
+    s_host = fit(dataclasses.replace(host, workspace=str(tmp_path / "h")),
+                 log=False).eval_stats[-1]
+    for k in ("mAP", "mAUC"):
+        np.testing.assert_allclose(s_dev[k], s_host[k], rtol=1e-6)
+
+
 def test_device_resident_skipped_over_budget(tmp_path):
     """Datasets over the byte budget fall back to host feeding."""
     cfg = _tiny_cfg(tmp_path, steps=4)
