@@ -72,8 +72,18 @@ def main():
         }
 
     bytes_moved = frontend_bytes_moved(B, n, cfg)
-    used_frames = 960
-    flops = B * (2 * used_frames * 480 * 241 * 2 + 2 * used_frames * 241 * 64)
+    # derive the GEMM geometry from the same helpers the kernel uses so the
+    # roofline tracks config/trim changes
+    from mla_tpu.ops.frontend import trimmed_spectral_bases
+    from mla_tpu.ops.pallas_frontend import _framing_plan
+
+    window, hop, used_frames, _, g, _ = _framing_plan(cfg, n)
+    n_bins = trimmed_spectral_bases(cfg)[3]
+    k = g * hop
+    flops = B * (
+        2 * used_frames * k * n_bins * 2
+        + 2 * used_frames * n_bins * cfg.num_mel_bins
+    )
     dt = results["pallas"]["median_ms"] / 1e3
     gbps = bytes_moved / dt / 1e9
     print(

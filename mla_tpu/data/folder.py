@@ -59,11 +59,14 @@ def _scan_csv(root: str, labels_csv: str) -> Tuple[List[str], List[str]]:
             f"{labels_csv}: need a category/label/class or target/classID column, "
             f"have {sorted(cols)}"
         )
+    # US8K nests files under fold dirs; scan the (invariant) dir list once
+    folds = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
     paths, names = [], []
     for r in rows:
         p = os.path.join(root, r[fn_col])
-        if not os.path.exists(p):  # US8K nests under fold dirs
-            folds = [d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))]
+        if not os.path.exists(p):
             p = next((os.path.join(root, d, r[fn_col]) for d in folds
                       if os.path.exists(os.path.join(root, d, r[fn_col]))), p)
         paths.append(p)

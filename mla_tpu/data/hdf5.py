@@ -38,7 +38,22 @@ def uint8_to_float32(x: np.ndarray, scale: float = DEQUANT_SCALE) -> np.ndarray:
 
 
 def float32_to_uint8(x: np.ndarray, scale: float = DEQUANT_SCALE) -> np.ndarray:
-    q = np.round(np.asarray(x, dtype=np.float32) / scale * 128.0 + 128.0)
+    """Quantize to the reference's 8-bit convention. Values outside
+    [-scale, scale) saturate; warn when that's more than a sliver, since a
+    silently clipped pack flattens whatever signal lived in the tails
+    (pass a larger ``scale`` to both pack and load for wide features)."""
+    import warnings
+
+    x = np.asarray(x, dtype=np.float32)
+    clipped = float(np.mean((x < -scale) | (x >= scale)))
+    if clipped > 0.01:
+        warnings.warn(
+            f"float32_to_uint8: {clipped:.1%} of values fall outside "
+            f"[-{scale}, {scale}) and will saturate; pass scale= to widen "
+            "the quantization range (load with the same scale)",
+            stacklevel=2,
+        )
+    q = np.round(x / scale * 128.0 + 128.0)
     return np.clip(q, 0, 255).astype(np.uint8)
 
 

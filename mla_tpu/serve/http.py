@@ -39,7 +39,10 @@ _STREAM_RE = re.compile(r"^/v1/streams/(\d+)(?:/(audio|flush|scores))?$")
 
 
 def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarray:
-    """WAV bytes or raw float32 little-endian PCM -> float32 samples."""
+    """Request body -> samples. Accepts a WAV file (audio/wav or RIFF
+    magic), raw little-endian int16 PCM (Content-Type audio/L16 —
+    int16 wire format, half the bytes of f32), or raw little-endian
+    float32 PCM (anything else)."""
     if content_type.startswith("audio/wav") or body[:4] == b"RIFF":
         from mla_tpu.data import audio_io
 
@@ -47,8 +50,15 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
         if sr != sample_rate:
             wav = audio_io.resample(wav, sr, sample_rate)
         return wav
+    if content_type.startswith("audio/L16") or content_type.startswith("audio/l16"):
+        if len(body) % 2:
+            raise ValueError("audio/L16 body length must be a multiple of 2 (int16 LE)")
+        return np.frombuffer(body, dtype="<i2")  # server dequantizes/coerces
     if len(body) % 4:
-        raise ValueError("raw PCM body length must be a multiple of 4 (float32 LE)")
+        raise ValueError(
+            "raw PCM body length must be a multiple of 4 (float32 LE); "
+            "send Content-Type: audio/L16 for int16 PCM"
+        )
     return np.frombuffer(body, dtype="<f4").astype(np.float32)
 
 
@@ -129,7 +139,7 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             self._reply(200, {"sid": sid, "chunk_samples": st.server.chunk_samples})
             return
-        m = _STREAM_RE.match(self.path)
+        m = _STREAM_RE.match(self.path.split("?")[0])
         if m and m.group(2) == "audio":
             sid = int(m.group(1))
             body = self._read_body()
@@ -161,7 +171,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._error(404, f"no route {self.path}")
 
     def do_DELETE(self):
-        m = _STREAM_RE.match(self.path)
+        m = _STREAM_RE.match(self.path.split("?")[0])
         if m and m.group(2) is None:
             sid = int(m.group(1))
             try:

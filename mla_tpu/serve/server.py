@@ -191,6 +191,10 @@ class BatchedStreamingServer:
         masked out of the accumulators via the tick program's n_valid lane;
         returns True if a device call was made."""
         self._check(sid)
+        # fold any still-complete chunks first — flush must never discard
+        # audio a tick() would have processed
+        while len(self._bufs[sid]) >= self.chunk_samples:
+            self.tick()
         buf = self._bufs[sid]
         if len(buf) == 0:
             return False

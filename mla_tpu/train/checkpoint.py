@@ -67,7 +67,19 @@ class CheckpointManager:
             present = {"state", "sampler"}
         if "sampler" in present:
             items["sampler"] = ocp.args.JsonRestore()
-        restored = self._mgr.restore(step, args=ocp.args.Composite(**items))
+        try:
+            restored = self._mgr.restore(step, args=ocp.args.Composite(**items))
+        except KeyError:
+            if "sampler" not in items:
+                raise
+            # the metadata probe fell back optimistically but the checkpoint
+            # has no sampler item: retry state-only (never the reverse — a
+            # present sampler item is always restored, so resume state can't
+            # be silently dropped)
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(state=ocp.args.StandardRestore(abstract_state)),
+            )
         return restored["state"], restored.get("sampler")
 
     def latest_step(self) -> Optional[int]:

@@ -18,6 +18,25 @@ def test_uint8_roundtrip(rng):
     assert np.abs(x - x2).max() <= 1.0 / 128 + 1e-6  # one quantization step
 
 
+def test_uint8_quantize_warns_on_heavy_clipping(rng):
+    """Packing values far outside [-1,1) must not be silent (round-2 review
+    finding: N(0,1) features would lose ~32% of their tails quietly)."""
+    import warnings
+
+    wide = rng.standard_normal((4, 10, 128)).astype(np.float32) * 3.0
+    with pytest.warns(UserWarning, match="saturate"):
+        hdf5.float32_to_uint8(wide)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # in-range data stays silent
+        hdf5.float32_to_uint8(np.clip(wide, -0.99, 0.99))
+    # a wider explicit scale round-trips wide data without the warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        q = hdf5.float32_to_uint8(np.clip(wide, -3.9, 3.9), scale=4.0)
+    back = hdf5.uint8_to_float32(q, scale=4.0)
+    assert np.abs(back - np.clip(wide, -3.9, 3.9)).max() <= 4.0 / 128 + 1e-6
+
+
 def test_uint8_reference_convention():
     """(q - 128) / 128 exactly — loading upstream-packed AudioSet HDF5 must
     reproduce the reference feature scale (ADVICE.md round 1)."""

@@ -136,6 +136,29 @@ def test_concurrent_clients(served):
         _req(base, "DELETE", f"/v1/streams/{sid}")
 
 
+def test_pcm16_body_and_querystring_routes(served):
+    """audio/L16 bodies decode as int16 PCM (round-2 review finding: they
+    used to be reinterpreted as float32 garbage), and POST/DELETE routes
+    tolerate query strings like GET does."""
+    cfg, variables, wav, base = served
+    n = _samples_per_patches(cfg.frontend, 3)
+    audio = wav[:n]
+    pcm16 = np.asarray(np.clip(audio, -1, 1) * 32767.0, "<i2")
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    r = _req(base, "POST", f"/v1/streams/{sid}/audio?src=mic", pcm16.tobytes(),
+             "audio/L16; rate=16000")
+    assert r["fed_samples"] == len(audio) and r["advanced"] == 1
+    got = _req(base, "GET", f"/v1/streams/{sid}/scores?top_k=4")["top_k"]
+    single = StreamingTagger(cfg, variables, chunk_patches=3)
+    single.feed(pcm16.astype(np.float32) / 32768.0)
+    want = dict(single.top_k(4))
+    names = labels_for(cfg.data.dataset, cfg.model.n_classes)
+    for name, p in got:
+        np.testing.assert_allclose(p, want[names.index(name)], rtol=1e-4, atol=1e-5)
+    assert _req(base, "POST", f"/v1/streams/{sid}/flush?now=1")["flushed"] in (True, False)
+    assert _req(base, "DELETE", f"/v1/streams/{sid}?reason=done")["closed"] is True
+
+
 def test_error_paths(served):
     _, _, _, base = served
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -124,6 +124,22 @@ def test_server_multi_attention_variant(setup):
     np.testing.assert_allclose(srv.scores(sid), single.scores(), rtol=1e-4, atol=1e-5)
 
 
+def test_server_flush_without_drain_processes_everything(setup):
+    """flush() must fold still-complete chunks before the tail — audio
+    beyond one chunk was silently discarded (round-2 review finding)."""
+    cfg, variables, wav = setup
+    n = _samples_per_patches(cfg.frontend, 12)  # 2 full chunks + 2 patches
+    audio = wav[:n]
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5)
+    sid = srv.open()
+    srv.feed(sid, audio)
+    srv.flush(sid)  # NO drain() first
+    single = StreamingTagger(cfg, variables, chunk_patches=5)
+    single.feed(audio)
+    single.flush()
+    np.testing.assert_allclose(srv.scores(sid), single.scores(), rtol=1e-4, atol=1e-5)
+
+
 def test_server_int16_transfer_matches_f32(setup):
     """PCM16 wire mode (device-side dequant, half the host->device bytes):
     scores match the float32 path to input-quantization tolerance, and raw
