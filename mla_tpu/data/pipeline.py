@@ -73,22 +73,51 @@ def make_train_iterator(
     seed: int = 0,
     workers: int = 0,
     start_index: int = 0,
+    host_index: int = 0,
+    host_count: int = 1,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Infinite (x, y) batch iterator with balanced classes (T9).
 
     workers > 0 enables grain multiprocess prefetch (useful once decode is
     real IO; synthetic in-RAM data doesn't need it).
 
-    ``start_index`` (in batches) resumes in O(1): the balanced stream is a
-    pure function of absolute position, so resuming batch k just starts the
-    position counter at k*batch_size — no skip loop, no iterator state
-    (round-1 VERDICT item 5).
+    ``start_index`` (in GLOBAL batches) resumes in O(1): the balanced
+    stream is a pure function of absolute position, so resuming batch k
+    just starts the position counter there — no skip loop, no iterator
+    state (round-1 VERDICT item 5).
+
+    Multi-host sharding (T9 at pod scale): with ``host_count`` H, host h
+    yields the h-th contiguous ``batch_size/H`` slice of every GLOBAL
+    batch — concatenating all hosts' step-s sub-batches reproduces the
+    unsharded stream's batch s exactly, with zero coordination (each
+    position is a pure function of (seed, global position)).
     """
+    if batch_size % host_count:
+        raise ValueError(f"batch_size {batch_size} not divisible by {host_count} hosts")
+    if not 0 <= host_index < host_count:
+        raise ValueError(f"host_index {host_index} outside [0, {host_count})")
+    per_host = batch_size // host_count
     x_arr, y_arr = ds.x, ds.y
+    if host_count == 1:
+        index_ds = balanced_index_dataset(
+            y_arr, seed, start_position=start_index * batch_size
+        )
+    else:
+        # local position -> global position within this host's batch slice
+        base = balanced_index_dataset(y_arr, seed)
+
+        def global_pos(p_local: int) -> int:
+            step, j = divmod(p_local, per_host)
+            return step * batch_size + host_index * per_host + j
+
+        index_ds = (
+            grain.MapDataset.range(start_index * per_host, 2**62)
+            .map(lambda p: base[global_pos(p)])
+        )
     pipeline = (
-        balanced_index_dataset(y_arr, seed, start_position=start_index * batch_size)
+        index_ds
         .map(lambda i: {"x": x_arr[i], "y": y_arr[i]})
-        .batch(batch_size)
+        .batch(per_host)
     )
     it = pipeline.to_iter_dataset()
     if workers:

@@ -58,6 +58,34 @@ def test_make_train_iterator_batches(rng):
     np.testing.assert_array_equal(b2x, nx)
 
 
+def test_host_sharded_stream_reassembles_global_batches(rng):
+    """T9 multi-host: concatenating every host's step-s sub-batch must
+    reproduce the unsharded stream's batch s exactly, and each host's
+    stream must resume at a global batch index in O(1)."""
+    y = _longtail(rng, n=400)
+    x = rng.standard_normal((400, 6)).astype(np.float32)
+    ds = ArrayDataset(x, y.astype(np.float32), np.arange(400), "features")
+    B, H = 24, 4
+    whole = make_train_iterator(ds, B, seed=2)
+    hosts = [make_train_iterator(ds, B, seed=2, host_index=h, host_count=H)
+             for h in range(H)]
+    for _ in range(3):
+        wx, wy = next(whole)
+        parts = [next(it) for it in hosts]
+        np.testing.assert_array_equal(np.concatenate([p[0] for p in parts]), wx)
+        np.testing.assert_array_equal(np.concatenate([p[1] for p in parts]), wy)
+    # O(1) resume at global batch 2 reproduces host 1's third sub-batch
+    resumed = make_train_iterator(ds, B, seed=2, start_index=2,
+                                  host_index=1, host_count=H)
+    fresh = make_train_iterator(ds, B, seed=2, host_index=1, host_count=H)
+    next(fresh); next(fresh)
+    np.testing.assert_array_equal(next(resumed)[0], next(fresh)[0])
+    with pytest.raises(ValueError, match="divisible"):
+        next(make_train_iterator(ds, 25, host_count=4))
+    with pytest.raises(ValueError, match="host_index"):
+        next(make_train_iterator(ds, 24, host_index=4, host_count=4))
+
+
 def test_time_fn_returns_sane_numbers():
     import jax
     import jax.numpy as jnp
