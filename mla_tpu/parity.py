@@ -151,6 +151,40 @@ def check_model() -> Dict:
     return {"check": "model_multi_level_attention", "max_abs_err": err, "pass": err < 1e-5}
 
 
+def check_model_variant(variant: str) -> Dict:
+    """Live torch-oracle parity for the non-golden head variants: the flax
+    model and the oracle compute the same function from the SAME randomly
+    initialized params (two independent codebases, one weight tree)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.config import ModelConfig
+    from mla_tpu.models.zoo import build_model
+    from tests.oracle import model_oracle as oracle
+
+    rng = np.random.default_rng(7)
+    c, d, hidden, n_blocks, heads = 9, 64, 32, 2, 3
+    cfg = ModelConfig(variant=variant, trunk="none", n_classes=c, n_blocks=n_blocks,
+                      layers_per_block=1, hidden_units=hidden,
+                      n_attention_heads=heads, compute_dtype="float32")
+    model = build_model(cfg)
+    x = rng.standard_normal((2, 10, d)).astype(np.float32)
+    variables = model.init(jax.random.key(3), jnp.asarray(x))
+    params = jax.tree.map(np.asarray, variables["params"])
+    with jax.default_matmul_precision("highest"):
+        ours = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
+    if variant == "single_attention":
+        ref = oracle.single_attention_forward(params, x, n_blocks, 1)
+    elif variant == "multi_attention":
+        ref = oracle.multi_attention_forward(params, x, n_blocks, 1, heads)
+    elif variant in ("avg_pool", "max_pool"):
+        ref = oracle.avg_max_pool_forward(params, x, n_blocks, 1, variant[:3])
+    else:
+        raise ValueError(f"no oracle dispatch for {variant!r}")
+    err = float(np.abs(ours - ref).max())
+    return {"check": f"model_{variant}", "max_abs_err": err, "pass": err < 1e-5}
+
+
 def check_metrics() -> Dict:
     from sklearn.metrics import average_precision_score, roc_auc_score
 
@@ -176,6 +210,10 @@ def run_all() -> List[Dict]:
         check_frontend("fft"),
         check_frontend_pallas(),
         check_model(),
+        check_model_variant("single_attention"),
+        check_model_variant("multi_attention"),
+        check_model_variant("avg_pool"),
+        check_model_variant("max_pool"),
         check_metrics(),
     ]
     return results
