@@ -1,0 +1,74 @@
+"""Worker for tests/test_multiprocess.py: one host of a 2-process
+jax.distributed run (Gloo CPU collectives). Builds the global ("data",
+"model") mesh over both processes' devices, replicates a deterministic
+TrainState by initializing INSIDE jit (the multi-controller-safe way to
+get identical global arrays), assembles its per-host slice of the global
+batch, runs ONE DP train step, and prints the (replicated) loss.
+
+Launched with env: JAX_PLATFORMS=cpu, XLA_FLAGS=--xla_force_host_platform_
+device_count=<local>, JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID,
+and a PYTHONPATH WITHOUT the axon site dir (its sitecustomize initializes
+the backend before jax.distributed can register the other hosts)."""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+from mla_tpu.parallel.distributed import initialize, local_batch_slice  # noqa: E402
+
+
+def main():
+    started = initialize()
+    assert started and jax.process_count() == 2, (started, jax.process_count())
+
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mla_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.parallel import mesh as pmesh
+    from mla_tpu.train.state import create_train_state, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(variant="multi_level_attention", trunk="none", n_classes=8,
+                          n_blocks=2, hidden_units=32, compute_dtype="float32"),
+        data=DataConfig(dataset="synthetic_audioset"),
+        train=TrainConfig(batch_size=16, data_parallel=-1, seed=0),
+    )
+    mesh = pmesh.make_mesh()  # all 8 global devices on "data"
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(0)
+    gx = rng.standard_normal((16, 10, 128)).astype(np.float32)
+    gy = (rng.random((16, 8)) < 0.2).astype(np.float32)
+
+    repl = pmesh.replicated(mesh)
+    state = jax.jit(
+        lambda: create_train_state(cfg, model, jnp.zeros((16, 10, 128), jnp.float32)),
+        out_shardings=jax.tree.map(lambda _: repl, jax.eval_shape(
+            lambda: create_train_state(cfg, model, jnp.zeros((16, 10, 128), jnp.float32))
+        )),
+    )()
+
+    sl = local_batch_slice(16)
+    bsh = pmesh.batch_sharding(mesh, 3)
+    ysh = pmesh.batch_sharding(mesh, 2)
+    x = jax.make_array_from_process_local_data(bsh, gx[sl], (16, 10, 128))
+    y = jax.make_array_from_process_local_data(ysh, gy[sl], (16, 8))
+
+    step = jax.jit(
+        make_train_step(cfg, model, "features"),
+        in_shardings=(jax.tree.map(lambda _: repl, state), bsh, ysh),
+        out_shardings=(jax.tree.map(lambda _: repl, state), repl),
+    )
+    _, loss = step(state, x, y)
+    loss_val = float(np.asarray(jax.device_get(loss.addressable_shards[0].data)))
+    print(json.dumps({"process": jax.process_index(), "loss": loss_val}))
+
+
+if __name__ == "__main__":
+    main()

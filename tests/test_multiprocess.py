@@ -1,0 +1,83 @@
+"""REAL multi-process distributed runtime (T8's DCN half, beyond the
+single-process claim of round 1): two OS processes x 4 CPU devices form
+one 8-device mesh through jax.distributed + Gloo collectives; a DP train
+step's cross-host gradient allreduce must reproduce the single-process
+loss bit-for-bit."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multiprocess_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _clean_env(port: int, pid: int) -> dict:
+    # PYTHONPATH WITHOUT the axon site dir: its sitecustomize initializes
+    # the backend at interpreter start, before jax.distributed can register
+    # the other host's devices (verified failure mode)
+    return {
+        "PATH": os.environ.get("PATH", ""),
+        "HOME": os.environ.get("HOME", "/root"),
+        "PYTHONPATH": REPO,
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
+        "JAX_NUM_PROCESSES": "2",
+        "JAX_PROCESS_ID": str(pid),
+    }
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process():
+    port = _free_port()
+    procs = [
+        subprocess.Popen([sys.executable, WORKER], env=_clean_env(port, pid),
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for pid in range(2)
+    ]
+    losses = {}
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, err[-1200:]
+        rec = json.loads([ln for ln in out.splitlines() if ln.startswith("{")][-1])
+        losses[rec["process"]] = rec["loss"]
+    assert set(losses) == {0, 1}
+    # both hosts agree (the loss is replicated through the allreduce)
+    assert losses[0] == losses[1], losses
+
+    # single-process reference: same seeds, same global batch, 8 local devices
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.parallel import mesh as pmesh
+    from mla_tpu.train.state import create_train_state, make_train_step
+
+    cfg = Config(
+        model=ModelConfig(variant="multi_level_attention", trunk="none", n_classes=8,
+                          n_blocks=2, hidden_units=32, compute_dtype="float32"),
+        data=DataConfig(dataset="synthetic_audioset"),
+        train=TrainConfig(batch_size=16, data_parallel=-1, seed=0),
+    )
+    mesh = pmesh.make_mesh()
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(0)
+    gx = rng.standard_normal((16, 10, 128)).astype(np.float32)
+    gy = (rng.random((16, 8)) < 0.2).astype(np.float32)
+    state = create_train_state(cfg, model, jnp.zeros((16, 10, 128), jnp.float32))
+    step = jax.jit(make_train_step(cfg, model, "features"))
+    _, loss = step(state, pmesh.shard_batch(gx, mesh), pmesh.shard_batch(gy, mesh))
+    np.testing.assert_allclose(losses[0], float(loss), rtol=1e-6, atol=1e-7)
