@@ -3,8 +3,10 @@ concurrent audio streams share ONE device program per tick).
 
 Each stream has O(1) attention state (ops.attention_pool.StreamState per
 level, batched along the stream axis). The server owns S slots; feeds are
-buffered per slot (native C++ ring buffer when built); every ``tick()``
-gathers the slots that have a full chunk ready and runs one batched
+buffered per slot in numpy (measured: buffering is noise next to the
+host->device transfer — see transfer_dtype below; the C++ ring buffer in
+data.native serves custom high-rate feeders); every ``tick()`` gathers
+the slots that have a full chunk ready and runs one batched
 front-end+trunk+logits program over exactly those — batching is by a
 static-shape mask, so there is a single compiled program regardless of
 which subset is ready (XLA static shapes; masked folds for the rest).
