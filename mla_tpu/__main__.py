@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -226,6 +227,75 @@ def _load_variables(args, cfg, sample_wav_seconds: float = 2.0):
     return model.init(jax.random.key(0), patches)
 
 
+def cmd_weights(args):
+    """Bare-weight interchange (the reference's .h5/.pth weight-file role):
+    --out dumps the latest checkpoint's params as a flat .npz
+    ('block0/fc0/kernel'-style keys); --load imports such an .npz into a
+    fresh step-0 checkpoint that eval/infer/train --resume can use."""
+    cfg = _load_cfg(args)
+    import jax
+    import jax.numpy as jnp
+
+    from mla_tpu.models.convert import flat_to_params, params_to_flat
+    from mla_tpu.models.zoo import build_model, example_input
+    from mla_tpu.train.checkpoint import CheckpointManager
+    from mla_tpu.train.state import create_train_state
+
+    workspace = args.workspace or cfg.workspace
+    ckpt_dir = os.path.join(workspace, "checkpoints", cfg.name)
+    if args.out:
+        from mla_tpu.train.loop import resume
+
+        state, _ = resume(cfg, workspace)
+        # params AND batch_stats: BatchNorm running averages are part of the
+        # model function in eval mode — weights alone predict garbage
+        flat = params_to_flat(jax.tree.map(np.asarray, dict(state.params)),
+                              prefix="params/")
+        if state.batch_stats:
+            flat.update(params_to_flat(
+                jax.tree.map(np.asarray, dict(state.batch_stats)),
+                prefix="batch_stats/",
+            ))
+        np.savez_compressed(args.out, **flat)
+        print(f"{len(flat)} weight arrays -> {args.out}")
+        return
+    if args.load:
+        flat = dict(np.load(args.load))
+        model = build_model(cfg.model)
+        state = create_train_state(cfg, model, example_input(cfg.model))
+        # template-validate: the imported keys/shapes must match the config
+        tmpl = params_to_flat(jax.tree.map(np.asarray, dict(state.params)),
+                              prefix="params/")
+        if state.batch_stats:
+            tmpl.update(params_to_flat(
+                jax.tree.map(np.asarray, dict(state.batch_stats)),
+                prefix="batch_stats/",
+            ))
+        missing = sorted(set(tmpl) - set(flat))
+        extra = sorted(set(flat) - set(tmpl))
+        if missing or extra:
+            raise SystemExit(f"weight-key mismatch: missing {missing[:4]}, "
+                             f"unexpected {extra[:4]}")
+        for k, v in tmpl.items():
+            if np.shape(flat[k]) != np.shape(v):
+                raise SystemExit(
+                    f"{k}: shape {np.shape(flat[k])} != expected {np.shape(v)}"
+                )
+        tree = flat_to_params(flat)
+        state = state.replace(
+            params=jax.tree.map(jnp.asarray, tree["params"]),
+            batch_stats=jax.tree.map(jnp.asarray, tree.get("batch_stats", {})),
+        )
+        mgr = CheckpointManager(ckpt_dir, async_save=False)
+        mgr.save(0, state, sampler_state={"imported_from": os.path.basename(args.load),
+                                          "step": 0})
+        mgr.wait()
+        mgr.close()
+        print(f"imported {len(flat)} arrays -> checkpoint step 0 in {ckpt_dir}")
+        return
+    raise SystemExit("weights: pass --out=<npz> or --load=<npz>")
+
+
 def cmd_profile(args):
     """Capture a jax.profiler trace of the configured train step (SURVEY.md
     §5 tracing row): compile once, run --steps steps inside one trace
@@ -370,6 +440,14 @@ def main(argv=None):
                     help="AudioSet class_labels_indices.csv for display names")
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
+
+    sw = sub.add_parser("weights", help="flat-.npz weight export/import")
+    sw.add_argument("--config", default="streaming_inference")
+    sw.add_argument("--workspace", default=None)
+    sw.add_argument("--out", default=None, help="dump latest checkpoint params to .npz")
+    sw.add_argument("--load", default=None, help="import .npz as a step-0 checkpoint")
+    sw.add_argument("--set", nargs="*")
+    sw.set_defaults(fn=cmd_weights)
 
     spr = sub.add_parser("profile", help="trace the train step (jax.profiler)")
     spr.add_argument("--config", default="esc50_single_attention")

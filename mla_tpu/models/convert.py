@@ -40,6 +40,34 @@ _FC_MAP = {
 _H, _W, _C = 6, 4, 512
 
 
+def params_to_flat(params: Dict, prefix: str = "") -> Dict[str, "np.ndarray"]:
+    """Nested flax param tree -> flat {'a/b/kernel': array} dict (the
+    framework-agnostic weight-interchange format; reference users swap
+    .h5/.pth weight files — ours is a flat .npz of these keys)."""
+    import numpy as np
+
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in params.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict) or hasattr(v, "items"):
+            flat.update(params_to_flat(dict(v), f"{key}/"))
+        else:
+            flat[key] = np.asarray(v, np.float32)
+    return flat
+
+
+def flat_to_params(flat: Dict) -> Dict:
+    """Inverse of :func:`params_to_flat`."""
+    params: Dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = params
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return params
+
+
 def _to_np(t):
     return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 

@@ -83,3 +83,41 @@ def test_profile_cli(tmp_path, capsys):
     # the trace dump actually landed on disk
     found = [f for _, _, fs in os.walk(out) for f in fs]
     assert found, "profiler trace produced no files"
+
+
+def test_weights_export_import_roundtrip(tmp_path, capsys):
+    """weights --out / --load: bare-weight interchange reproduces scores."""
+    import jax
+    import numpy as np
+
+    from mla_tpu.__main__ import main
+
+    common = ["--config=esc50_single_attention", "--set",
+              "model.conv_channels=8", "model.hidden_units=16",
+              "data.n_train_clips=8", "data.n_eval_clips=4",
+              "data.clip_seconds=2.0", "train.batch_size=8", "train.data_parallel=1",
+              "train.num_steps=4", "train.eval_every=4",
+              "train.checkpoint_every=4", "train.log_every=2"]
+    ws_a, ws_b = str(tmp_path / "a"), str(tmp_path / "b")
+    main(["train", f"--workspace={ws_a}"] + common)
+    npz = str(tmp_path / "w.npz")
+    main(["weights", f"--workspace={ws_a}", f"--out={npz}"] + common)
+    assert "weight arrays" in capsys.readouterr().out
+    main(["weights", f"--workspace={ws_b}", f"--load={npz}"] + common)
+    # the imported checkpoint must reproduce the trained params exactly
+    from mla_tpu.config import get_config
+    from mla_tpu.train.loop import resume
+
+    def overrides(args):
+        return {p.split("=")[0]: p.split("=", 1)[1] for p in args}
+
+    cfg = get_config("esc50_single_attention", overrides(common[2:]))
+    sa, _ = resume(cfg, ws_a)
+    sb, _ = resume(cfg, ws_b)
+    same = jax.tree.map(lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)),
+                        sa.params, sb.params)
+    assert all(jax.tree.leaves(same))
+    # BatchNorm running stats ride along too (weights alone predict garbage)
+    same_bn = jax.tree.map(lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)),
+                           sa.batch_stats, sb.batch_stats)
+    assert all(jax.tree.leaves(same_bn)) and jax.tree.leaves(sa.batch_stats)

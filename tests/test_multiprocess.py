@@ -39,20 +39,31 @@ def _clean_env(port: int, pid: int) -> dict:
     }
 
 
-@pytest.mark.slow
-def test_two_process_dp_step_matches_single_process():
+def _launch_workers():
     port = _free_port()
     procs = [
         subprocess.Popen([sys.executable, WORKER], env=_clean_env(port, pid),
                          stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
         for pid in range(2)
     ]
-    losses = {}
+    losses, errs = {}, []
     for p in procs:
         out, err = p.communicate(timeout=420)
-        assert p.returncode == 0, err[-1200:]
+        if p.returncode != 0:
+            errs.append(err[-1200:])
+            continue
         rec = json.loads([ln for ln in out.splitlines() if ln.startswith("{")][-1])
         losses[rec["process"]] = rec["loss"]
+    return losses, errs
+
+
+@pytest.mark.slow
+def test_two_process_dp_step_matches_single_process():
+    # one retry: the free-port handoff has a small bind race under load
+    losses, errs = _launch_workers()
+    if errs:
+        losses, errs = _launch_workers()
+    assert not errs, errs
     assert set(losses) == {0, 1}
     # both hosts agree (the loss is replicated through the allreduce)
     assert losses[0] == losses[1], losses
