@@ -62,6 +62,40 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_local_batch(local: Any, mesh: Mesh, global_batch: int) -> jax.Array:
+    """Assemble a batch-sharded GLOBAL array from this process's local slice
+    (multi-controller T3: each host loads only its ``global_batch /
+    process_count`` rows; jax.make_array_from_process_local_data stitches
+    the global array). Single-process this degenerates to ``shard_batch``
+    on the full batch."""
+    local = np.asarray(local)
+    sh = batch_sharding(mesh, local.ndim)
+    if jax.process_count() == 1:
+        return jax.device_put(local, sh)
+    return jax.make_array_from_process_local_data(
+        sh, local, (global_batch,) + local.shape[1:]
+    )
+
+
+def put_replicated(arr: Any, mesh: Mesh) -> jax.Array:
+    """Place a host array replicated over the whole (possibly multi-host)
+    mesh. Every process must pass the same value."""
+    arr = np.asarray(arr)
+    sh = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sh)
+    return jax.make_array_from_process_local_data(sh, arr, arr.shape)
+
+
+def fetch(arr: Any) -> np.ndarray:
+    """Host value of a device array; works for the multi-controller case
+    where a replicated global array is not fully addressable (every shard
+    holds the full value — read the first local one)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    return np.asarray(jax.device_get(arr.addressable_data(0)))
+
+
 def _tp_spec_for(path: Tuple[str, ...], shape: Tuple[int, ...], hidden: int) -> P:
     """TP rule (T4): shard the hidden width of the embedded-mapping FCs and
     the attention projections over "model".

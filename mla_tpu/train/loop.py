@@ -15,12 +15,12 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mla_tpu.config import Config
 from mla_tpu.data.sampler import BalancedSampler, SequentialSampler
 from mla_tpu.data.synthetic import ArrayDataset, make_dataset
 from mla_tpu.models.zoo import build_model
+from mla_tpu.parallel import distributed
 from mla_tpu.parallel import mesh as pmesh
 from mla_tpu.train.checkpoint import CheckpointManager
 from mla_tpu.train.state import (
@@ -59,8 +59,13 @@ def evaluate(cfg: Config, model, state: TrainState, ds: ArrayDataset,
     the eval set in batches, metrics on host. ``x_device`` (optional): the
     eval features already HBM-resident — batches are then device-side
     slices instead of per-eval uploads (same rationale as the train path's
-    device_resident gather)."""
+    device_resident gather).
+
+    Multi-controller: every host holds the full eval set and feeds its
+    ``local_batch_slice`` of each batch; scores come back replicated, so
+    the metric math runs identically (and redundantly) on every host."""
     bs = max(cfg.train.batch_size, 1)
+    sl = distributed.local_batch_slice(bs) if jax.process_count() > 1 else slice(None)
     if x_device is not None and x_device.shape[0] < bs:
         x_device = None  # too small to slice static batches from
     outs = []
@@ -71,14 +76,14 @@ def evaluate(cfg: Config, model, state: TrainState, ds: ArrayDataset,
             start = min(int(idx[0]), x_device.shape[0] - bs)
             off = int(idx[0]) - start
             x = jax.lax.dynamic_slice_in_dim(x_device, start, bs, 0)
-            probs = np.asarray(eval_step(state, pmesh.shard_batch(x, mesh)))
+            probs = pmesh.fetch(eval_step(state, pmesh.shard_batch(x, mesh)))
             outs.append(probs[off : off + len(idx)])
         else:
             x = ds.x[idx]
             pad = bs - len(idx)
             if pad:  # static batch shape for one compiled program
                 x = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
-            probs = np.asarray(eval_step(state, pmesh.shard_batch(x, mesh)))
+            probs = pmesh.fetch(eval_step(state, pmesh.put_local_batch(x[sl], mesh, bs)))
             outs.append(probs[: len(idx)])
     scores = np.concatenate(outs)
     return calculate_stats(scores, ds.y)
@@ -91,13 +96,29 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
     auto_resume=True restores the latest checkpoint (params, opt state,
     step, sampler position) and continues — the single-slice recovery story
     (SURVEY.md §5 "failure detection / elastic recovery" row: restart from
-    latest; deterministic given the sampler state)."""
+    latest; deterministic given the sampler state).
+
+    Multi-controller (call ``parallel.distributed.initialize()`` first, one
+    process per host): the mesh spans all hosts' devices, every host draws
+    the SAME deterministic index stream and feeds only its
+    ``local_batch_slice`` rows; global batches are assembled with
+    jax.make_array_from_process_local_data (T8's DCN half). DP only —
+    model_parallel > 1 would need host-side param slicing, rejected below."""
+    nproc = jax.process_count()
+    multihost = nproc > 1
+    if multihost and cfg.train.model_parallel != 1:
+        raise NotImplementedError("multi-host fit() supports data parallelism only")
+    log = log and distributed.is_primary()
     workspace = workspace or cfg.workspace
     os.makedirs(workspace, exist_ok=True)
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
     logger = create_logging(os.path.join(workspace, "logs"), cfg.name) if log else None
-    writer = ScalarWriter(os.path.join(workspace, "scalars.csv"))
+    writer = (
+        ScalarWriter(os.path.join(workspace, "scalars.csv"))
+        if distributed.is_primary()
+        else None
+    )
 
     def say(msg):
         if logger:
@@ -116,21 +137,21 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             f"batch_size {bs} not divisible by data-parallel {mesh.shape[pmesh.DATA_AXIS]}"
         )
 
-    sample = jax.device_put(
-        jax.numpy.asarray(train_ds.x[:bs]), pmesh.batch_sharding(mesh, train_ds.x.ndim)
-    )
+    sample_sd = jax.ShapeDtypeStruct(train_ds.x[:bs].shape, jax.numpy.float32)
     if input_kind == "waveform":
         from mla_tpu.ops.frontend import waveform_to_patches
 
-        sample_model_in = jax.eval_shape(
-            lambda w: waveform_to_patches(w, cfg.frontend), sample
-        )
-        sample_model_in = jax.numpy.zeros(sample_model_in.shape, sample_model_in.dtype)
-    else:
-        sample_model_in = sample
-    state = create_train_state(cfg, model, sample_model_in)
-    st_shardings = _state_shardings(mesh, state, cfg.model.hidden_units)
-    state = jax.device_put(state, st_shardings)
+        sample_sd = jax.eval_shape(lambda w: waveform_to_patches(w, cfg.frontend), sample_sd)
+    sample_model_in = np.zeros(sample_sd.shape, sample_sd.dtype)
+    # init INSIDE jit with explicit out_shardings: on a multi-host mesh this
+    # is the only way to materialize identical global params on every
+    # process (eager init + device_put can't target non-addressable devices)
+    abstract_state = jax.eval_shape(lambda: create_train_state(cfg, model, sample_model_in))
+    st_shardings = _state_shardings(mesh, abstract_state, cfg.model.hidden_units)
+    state = jax.jit(
+        lambda: create_train_state(cfg, model, sample_model_in),
+        out_shardings=st_shardings,
+    )()
 
     bsh = pmesh.batch_sharding(mesh, train_ds.x.ndim)
     ysh = pmesh.batch_sharding(mesh, 2)
@@ -164,15 +185,15 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
     )
     gather = x_all = y_all = eval_x_dev = None
     if use_device_data:
-        x_all = jax.device_put(jax.numpy.asarray(train_ds.x), pmesh.replicated(mesh))
-        y_all = jax.device_put(
-            jax.numpy.asarray(train_ds.y, jax.numpy.float32), pmesh.replicated(mesh)
-        )
+        x_all = pmesh.put_replicated(np.asarray(train_ds.x), mesh)
+        y_all = pmesh.put_replicated(np.asarray(train_ds.y, np.float32), mesh)
         gather = jax.jit(
             lambda xs, ys, i: (jax.numpy.take(xs, i, 0), jax.numpy.take(ys, i, 0)),
             out_shardings=(bsh, ysh),
         )
-        if eval_ds.x.nbytes <= cfg.data.device_resident_max_bytes:
+        # the HBM-resident eval path slices eagerly, which needs fully
+        # addressable arrays — multi-host eval feeds per-host batches instead
+        if not multihost and eval_ds.x.nbytes <= cfg.data.device_resident_max_bytes:
             eval_x_dev = jax.device_put(
                 jax.numpy.asarray(eval_ds.x), pmesh.replicated(mesh)
             )
@@ -186,9 +207,15 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
 
     start_step = 0
     if auto_resume and ckpt.latest_step() is not None:
-        abstract = jax.eval_shape(lambda: state)
-        state, sampler_st = ckpt.restore(abstract)
-        state = jax.device_put(state, st_shardings)
+        state, sampler_st = ckpt.restore(abstract_state)
+        state = (
+            jax.tree.map(
+                lambda a, s: jax.make_array_from_process_local_data(s, np.asarray(a)),
+                state, st_shardings,
+            )
+            if multihost
+            else jax.device_put(state, st_shardings)
+        )
         if sampler is not None and sampler_st:
             sampler.load_state_dict(sampler_st)
         elif sampler_st and sampler_st.get("pipeline") == "random":
@@ -204,33 +231,42 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         from mla_tpu.data.pipeline import make_train_iterator
 
         # the grain stream is a pure function of (seed, position): resuming
-        # is just starting the stream at batch index start_step (T9)
+        # is just starting the stream at batch index start_step (T9); under
+        # multi-controller each host pulls only its slice of every global batch
         grain_it = make_train_iterator(
-            train_ds, bs, cfg.train.seed, cfg.data.grain_workers, start_index=start_step
+            train_ds, bs, cfg.train.seed, cfg.data.grain_workers,
+            start_index=start_step,
+            host_index=jax.process_index(), host_count=nproc,
         )
 
+    # every host draws the SAME deterministic index stream (same seed) and
+    # feeds only its rows — no cross-host coordination needed for sampling
+    local_sl = distributed.local_batch_slice(bs) if multihost else slice(None)
     t_last = time.perf_counter()
     clips_done = 0
     for step_i in range(start_step, cfg.train.num_steps):
         if grain_it is not None:
-            bx, by = next(grain_it)
-            x = pmesh.shard_batch(bx, mesh)
-            y = pmesh.shard_batch(np.asarray(by, np.float32), mesh)
+            bx, by = next(grain_it)  # already this host's slice
+            x = pmesh.put_local_batch(bx, mesh, bs)
+            y = pmesh.put_local_batch(np.asarray(by, np.float32), mesh, bs)
         else:
             idx = sampler.next_batch() if sampler else rng.integers(0, len(train_ds.x), bs)
             if use_device_data:
-                x, y = gather(x_all, y_all, jax.numpy.asarray(idx))
+                x, y = gather(x_all, y_all, pmesh.put_replicated(np.asarray(idx), mesh))
             else:
-                x = pmesh.shard_batch(train_ds.x[idx], mesh)
-                y = pmesh.shard_batch(np.asarray(train_ds.y[idx], np.float32), mesh)
+                x = pmesh.put_local_batch(train_ds.x[idx[local_sl]], mesh, bs)
+                y = pmesh.put_local_batch(
+                    np.asarray(train_ds.y[idx[local_sl]], np.float32), mesh, bs
+                )
         state, loss = train_step(state, x, y)
         clips_done += bs
         if (step_i + 1) % cfg.train.log_every == 0 or step_i == 0:
-            loss_v = float(loss)
+            loss_v = float(pmesh.fetch(loss))
             dt = time.perf_counter() - t_last
             cps = clips_done / dt if dt > 0 else 0.0
             result.history.append({"step": step_i + 1, "loss": loss_v, "clips_per_sec": cps})
-            writer.write(step_i + 1, {"loss": loss_v, "clips_per_sec": cps})
+            if writer:
+                writer.write(step_i + 1, {"loss": loss_v, "clips_per_sec": cps})
             say(f"step {step_i + 1} loss {loss_v:.4f} {cps:.1f} clips/s")
             t_last = time.perf_counter()
             clips_done = 0
@@ -239,9 +275,13 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
                              x_device=eval_x_dev)
             stats["step"] = step_i + 1
             result.eval_stats.append(stats)
-            writer.write(step_i + 1, {k: v for k, v in stats.items() if k != "step"})
+            if writer:
+                writer.write(step_i + 1, {k: v for k, v in stats.items() if k != "step"})
             say(f"eval @ {step_i + 1}: " + " ".join(f"{k}={v:.4f}" for k, v in stats.items()))
-        if (step_i + 1) % cfg.train.checkpoint_every == 0 or step_i + 1 == cfg.train.num_steps:
+        if cfg.train.checkpoint_every > 0 and (
+            (step_i + 1) % cfg.train.checkpoint_every == 0
+            or step_i + 1 == cfg.train.num_steps
+        ):
             # every input path saves a sampler dict, so restore never has to
             # guess whether the item exists (ADVICE.md round 1, medium)
             if sampler is not None:
@@ -259,7 +299,8 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             ckpt.save(step_i + 1, state, samp_st, config=_dc.asdict(cfg))
 
     ckpt.wait()
-    writer.close()
+    if writer:
+        writer.close()
     result.state = state
     return result
 

@@ -1,9 +1,15 @@
 """Worker for tests/test_multiprocess.py: one host of a 2-process
-jax.distributed run (Gloo CPU collectives). Builds the global ("data",
-"model") mesh over both processes' devices, replicates a deterministic
-TrainState by initializing INSIDE jit (the multi-controller-safe way to
-get identical global arrays), assembles its per-host slice of the global
-batch, runs ONE DP train step, and prints the (replicated) loss.
+jax.distributed run (Gloo CPU collectives). Two modes (argv[1]):
+
+- ``step`` (default): builds the global ("data","model") mesh over both
+  processes' devices, replicates a deterministic TrainState by
+  initializing INSIDE jit (the multi-controller-safe way to get identical
+  global arrays), assembles its per-host slice of the global batch, runs
+  ONE DP train step, and prints the (replicated) loss.
+- ``fit``: runs the REAL ``train.loop.fit()`` end-to-end multi-host — the
+  loop's own make_array_from_process_local_data batch assembly, jit-init,
+  device-resident gather, eval, and loss fetch — and prints the loss
+  history + final eval mAP (workspace from MLA_WORKSPACE env).
 
 Launched with env: JAX_PLATFORMS=cpu, XLA_FLAGS=--xla_force_host_platform_
 device_count=<local>, JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID,
@@ -19,6 +25,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 from mla_tpu.parallel.distributed import initialize, local_batch_slice  # noqa: E402
+
+
+def fit_config():
+    """Shared by the multi-host worker and the single-process reference."""
+    from mla_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+
+    return Config(
+        name="mp_fit",
+        model=ModelConfig(variant="multi_level_attention", trunk="none", n_classes=8,
+                          n_blocks=2, hidden_units=32, compute_dtype="float32"),
+        data=DataConfig(dataset="synthetic_audioset"),
+        train=TrainConfig(batch_size=16, num_steps=6, data_parallel=-1, seed=0,
+                          log_every=1, eval_every=6, checkpoint_every=0),
+    )
+
+
+def main_fit():
+    started = initialize()
+    assert started and jax.process_count() == 2, (started, jax.process_count())
+    from mla_tpu.train.loop import fit
+
+    res = fit(fit_config(), workspace=os.environ["MLA_WORKSPACE"], log=False)
+    print(json.dumps({
+        "process": jax.process_index(),
+        "losses": [h["loss"] for h in res.history],
+        "mAP": res.eval_stats[-1]["mAP"],
+    }))
 
 
 def main():
@@ -71,4 +104,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "fit":
+        main_fit()
+    else:
+        main()

@@ -39,32 +39,36 @@ def _clean_env(port: int, pid: int) -> dict:
     }
 
 
-def _launch_workers():
+def _launch_workers(mode: str = "step", extra_env: dict = None):
     port = _free_port()
-    procs = [
-        subprocess.Popen([sys.executable, WORKER], env=_clean_env(port, pid),
-                         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
-        for pid in range(2)
-    ]
-    losses, errs = {}, []
+    procs = []
+    for pid in range(2):
+        env = _clean_env(port, pid)
+        env.update(extra_env or {})
+        procs.append(
+            subprocess.Popen([sys.executable, WORKER, mode], env=env,
+                             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        )
+    recs, errs = {}, []
     for p in procs:
         out, err = p.communicate(timeout=420)
         if p.returncode != 0:
             errs.append(err[-1200:])
             continue
         rec = json.loads([ln for ln in out.splitlines() if ln.startswith("{")][-1])
-        losses[rec["process"]] = rec["loss"]
-    return losses, errs
+        recs[rec["process"]] = rec
+    return recs, errs
 
 
 @pytest.mark.slow
 def test_two_process_dp_step_matches_single_process():
     # one retry: the free-port handoff has a small bind race under load
-    losses, errs = _launch_workers()
+    recs, errs = _launch_workers()
     if errs:
-        losses, errs = _launch_workers()
+        recs, errs = _launch_workers()
     assert not errs, errs
-    assert set(losses) == {0, 1}
+    assert set(recs) == {0, 1}
+    losses = {p: r["loss"] for p, r in recs.items()}
     # both hosts agree (the loss is replicated through the allreduce)
     assert losses[0] == losses[1], losses
 
@@ -92,3 +96,27 @@ def test_two_process_dp_step_matches_single_process():
     step = jax.jit(make_train_step(cfg, model, "features"))
     _, loss = step(state, pmesh.shard_batch(gx, mesh), pmesh.shard_batch(gy, mesh))
     np.testing.assert_allclose(losses[0], float(loss), rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_two_process_fit_matches_single_process(tmp_path):
+    """The REAL fit() loop runs multi-host (2 processes x 4 devices) and its
+    loss trajectory + final eval mAP match a single-process 8-device run —
+    the full multi-controller wiring (jit-init with global out_shardings,
+    make_array batch assembly, device-resident gather on a global mesh,
+    per-host eval feeding) proven end-to-end, not just one hand-built step."""
+    env = {"MLA_WORKSPACE": str(tmp_path / "mp")}
+    recs, errs = _launch_workers("fit", env)
+    if errs:
+        recs, errs = _launch_workers("fit", env)
+    assert not errs, errs
+    assert set(recs) == {0, 1}
+    assert recs[0]["losses"] == recs[1]["losses"], recs
+
+    from multiprocess_worker import fit_config
+    from mla_tpu.train.loop import fit
+
+    ref = fit(fit_config(), workspace=str(tmp_path / "sp"), log=False)
+    ref_losses = [h["loss"] for h in ref.history]
+    np.testing.assert_allclose(recs[0]["losses"], ref_losses, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(recs[0]["mAP"], ref.eval_stats[-1]["mAP"], atol=1e-6)
