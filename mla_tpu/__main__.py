@@ -464,8 +464,10 @@ def main(argv=None):
     ss.add_argument("--host", default="127.0.0.1")
     ss.add_argument("--port", type=int, default=8000)
     ss.add_argument("--max_streams", type=int, default=8)
-    ss.add_argument("--transfer_dtype", default="int16", choices=["int16", "float32"],
-                    help="wire/device-transfer dtype; int16 halves host->device bytes")
+    ss.add_argument("--transfer_dtype", default="int16",
+                    choices=["int16", "float32", "uint8"],
+                    help="wire/device-transfer dtype; int16 halves host->device "
+                         "bytes, uint8 (8-bit mu-law) quarters them")
     ss.add_argument("--set", nargs="*")
     ss.set_defaults(fn=cmd_serve)
 

@@ -41,8 +41,9 @@ _STREAM_RE = re.compile(r"^/v1/streams/(\d+)(?:/(audio|flush|scores))?$")
 def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarray:
     """Request body -> samples. Accepts a WAV file (audio/wav or RIFF
     magic), raw little-endian int16 PCM (Content-Type audio/L16 —
-    int16 wire format, half the bytes of f32), or raw little-endian
-    float32 PCM (anything else)."""
+    int16 wire format, half the bytes of f32), 8-bit mu-law (Content-Type
+    audio/basic, G.711-style mu=255 — quarter of f32), or raw
+    little-endian float32 PCM (anything else)."""
     if content_type.startswith("audio/wav") or body[:4] == b"RIFF":
         from mla_tpu.data import audio_io
 
@@ -54,6 +55,10 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
         if len(body) % 2:
             raise ValueError("audio/L16 body length must be a multiple of 2 (int16 LE)")
         return np.frombuffer(body, dtype="<i2")  # server dequantizes/coerces
+    if content_type.startswith("audio/basic"):
+        # uint8 arrays are mu-law codes by server convention; with
+        # transfer_dtype="uint8" the bytes go to HBM still compressed
+        return np.frombuffer(body, dtype=np.uint8)
     if len(body) % 4:
         raise ValueError(
             "raw PCM body length must be a multiple of 4 (float32 LE); "
@@ -197,7 +202,10 @@ def create_server(
     """Build the HTTP server (not yet serving; call .serve_forever()).
     transfer_dtype="int16" (default) ships PCM16 to the device and
     dequantizes there — half the host->device bytes for a <1/32768 input
-    quantization the scores don't notice."""
+    quantization the scores don't notice. "uint8" ships 8-bit mu-law
+    (quarter of f32, ~38 dB SNR) and expands on device — for severely
+    transfer-bound hosts; pair with clients POSTing audio/basic so the
+    wire and device formats match end-to-end."""
     state = _TaggerState(cfg, variables, max_streams, chunk_patches, transfer_dtype)
     handler = type("Handler", (_Handler,), {"state": state})
     return ThreadingHTTPServer((host, port), handler)

@@ -46,14 +46,24 @@ class BatchedStreamingServer:
                  chunk_patches: int = 5, transfer_dtype: str = "float32"):
         if cfg.model.variant not in STREAMING_VARIANTS:
             raise ValueError(f"streaming needs an attention variant, got {cfg.model.variant!r}")
-        if transfer_dtype not in ("float32", "int16"):
-            raise ValueError(f"transfer_dtype must be float32|int16, got {transfer_dtype!r}")
+        if transfer_dtype not in ("float32", "int16", "uint8"):
+            raise ValueError(
+                f"transfer_dtype must be float32|int16|uint8, got {transfer_dtype!r}"
+            )
         # "int16": buffer and ship PCM16, dequantize ON DEVICE — halves
         # host->device bytes (the wire format audio arrives in anyway;
         # quantization error 1/32768 is far below the front-end's parity
         # budget). Production default for transfer-bound hosts.
+        # "uint8": 8-bit mu-law (G.711-style) — quarter of f32, expanded on
+        # device; ~38 dB SNR, fine for tagging (tested vs float32 scores).
         self.transfer_dtype = transfer_dtype
-        self._buf_dtype = np.int16 if transfer_dtype == "int16" else np.float32
+        self._buf_dtype = {
+            "float32": np.float32, "int16": np.int16, "uint8": np.uint8
+        }[transfer_dtype]
+        # silence in wire units: mu-law code 0 is FULL-SCALE -1.0, not zero —
+        # pad with the code for 0.0 (=128) or a flushed sub-patch tail would
+        # be padded with a -1 DC slab instead of silence
+        self._pad_value = 128 if self._buf_dtype == np.uint8 else 0
         self.cfg = cfg
         self.model = build_model(cfg.model)
         self.variables = variables
@@ -79,6 +89,13 @@ class BatchedStreamingServer:
             serves both regular ticks (n_valid = chunk_patches) and flushes."""
             if wav.dtype == jnp.int16:
                 wav = wav.astype(jnp.float32) / 32768.0
+            elif wav.dtype == jnp.uint8:  # mu-law expansion on device
+                from mla_tpu.data.audio_io import MULAW_MU
+
+                yv = wav.astype(jnp.float32) / 127.5 - 1.0
+                wav = jnp.sign(yv) * jnp.expm1(
+                    jnp.abs(yv) * jnp.log1p(MULAW_MU)
+                ) / MULAW_MU
             patches = fe.apply_frontend(wav, cfg.frontend)  # [S, P, 96, 64]
             levels = self.model.apply(self.variables, patches, method="segment_logits")
             p = patches.shape[1]
@@ -137,14 +154,21 @@ class BatchedStreamingServer:
 
     # --- data path ---
     def _coerce(self, samples: np.ndarray) -> np.ndarray:
-        """Incoming float32 [-1,1] or PCM16 -> the configured buffer dtype."""
+        """Incoming float32 [-1,1], PCM16, or uint8 mu-law -> the configured
+        buffer dtype (uint8 arrays are mu-law codes by convention)."""
+        from mla_tpu.data.audio_io import mulaw_decode, mulaw_encode
+
         samples = np.asarray(samples)
         if samples.dtype == self._buf_dtype:
             return samples
+        if samples.dtype == np.int16:
+            samples = samples.astype(np.float32) / 32768.0
+        elif samples.dtype == np.uint8:
+            samples = mulaw_decode(samples)
         if self._buf_dtype == np.int16:
             return np.asarray(np.clip(samples, -1.0, 1.0) * 32767.0, np.int16)
-        if samples.dtype == np.int16:
-            return samples.astype(np.float32) / 32768.0
+        if self._buf_dtype == np.uint8:
+            return mulaw_encode(samples)
         return np.asarray(samples, np.float32)
 
     def feed(self, sid: int, samples: np.ndarray):
@@ -163,7 +187,7 @@ class BatchedStreamingServer:
         )
         if not active.any():
             return 0
-        wav = np.zeros((self.S, self.chunk_samples), self._buf_dtype)
+        wav = np.full((self.S, self.chunk_samples), self._pad_value, self._buf_dtype)
         for sid in range(self.S):
             if active[sid]:
                 wav[sid] = self._bufs[sid][: self.chunk_samples]
@@ -210,7 +234,7 @@ class BatchedStreamingServer:
                 return False
             n_valid_sid = 1  # lone sub-patch stream: zero-pad to one patch
         n_valid_sid = min(n_valid_sid, self.chunk_patches)
-        wav = np.zeros((self.S, self.chunk_samples), self._buf_dtype)
+        wav = np.full((self.S, self.chunk_samples), self._pad_value, self._buf_dtype)
         wav[sid, : min(len(buf), self.chunk_samples)] = buf[: self.chunk_samples]
         active = np.zeros(self.S, bool)
         active[sid] = True

@@ -159,6 +159,29 @@ def test_pcm16_body_and_querystring_routes(served):
     assert _req(base, "DELETE", f"/v1/streams/{sid}?reason=done")["closed"] is True
 
 
+def test_mulaw_body_decodes(served):
+    """audio/basic bodies are 8-bit mu-law: the wire format reaches the
+    server as uint8 codes and scores track a float32 feed of the same
+    audio within codec tolerance."""
+    from mla_tpu.data.audio_io import mulaw_encode
+
+    cfg, variables, wav, base = served
+    n = _samples_per_patches(cfg.frontend, 3)
+    audio = wav[:n]
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    r = _req(base, "POST", f"/v1/streams/{sid}/audio",
+             mulaw_encode(audio).tobytes(), "audio/basic")
+    assert r["fed_samples"] == len(audio) and r["advanced"] == 1
+    got = _req(base, "GET", f"/v1/streams/{sid}/scores?top_k=4")["top_k"]
+    single = StreamingTagger(cfg, variables, chunk_patches=3)
+    single.feed(audio)
+    want = dict(single.top_k(4))
+    names = labels_for(cfg.data.dataset, cfg.model.n_classes)
+    for name, p in got:
+        np.testing.assert_allclose(p, want[names.index(name)], atol=5e-2)
+    _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
 def test_error_paths(served):
     _, _, _, base = served
     with pytest.raises(urllib.error.HTTPError) as e:

@@ -166,6 +166,51 @@ def test_server_int16_transfer_matches_f32(setup):
         BatchedStreamingServer(cfg, variables, transfer_dtype="int8")
 
 
+def test_mulaw_codec_roundtrip_bound():
+    """8-bit mu-law keeps RELATIVE precision: fine near zero, ~0.4% of
+    full scale worst-case at |x|=1 (the G.711 trade)."""
+    from mla_tpu.data.audio_io import mulaw_decode, mulaw_encode
+
+    x = np.random.default_rng(0).uniform(-1, 1, 100000).astype(np.float32)
+    back = mulaw_decode(mulaw_encode(x))
+    assert np.abs(back - x).max() < 2.2e-2  # worst step at full scale
+    small = x * 1e-2
+    assert np.abs(mulaw_decode(mulaw_encode(small)) - small).max() < 4e-4
+    # silence code: encode(0) decodes back to ~0, NOT full-scale
+    assert abs(float(mulaw_decode(mulaw_encode(np.zeros(1))))) < 1e-4
+
+
+def test_server_uint8_mulaw_transfer_matches_f32(setup):
+    """mu-law wire mode (quarter of f32 bytes, device-side expansion):
+    scores track the float32 path within codec tolerance, mu-law uint8
+    feeds pass through untouched, and the flush pad value is the mu-law
+    SILENCE code (code 0 would be a -1.0 DC slab)."""
+    from mla_tpu.data.audio_io import mulaw_encode
+
+    cfg, variables, wav = setup
+    n = _samples_per_patches(cfg.frontend, 10)
+    audio = wav[:n]
+    f32 = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5)
+    u8 = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5,
+                                transfer_dtype="uint8")
+    a = f32.open(); f32.feed(a, audio); f32.drain()
+    b = u8.open(); u8.feed(b, audio); u8.drain()
+    np.testing.assert_allclose(u8.scores(b), f32.scores(a), atol=5e-2)
+    assert int(np.argmax(u8.scores(b))) == int(np.argmax(f32.scores(a)))
+    # pre-encoded mu-law in == float32 in through the same server
+    u8b = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5,
+                                 transfer_dtype="uint8")
+    c = u8b.open(); u8b.feed(c, mulaw_encode(audio)); u8b.drain()
+    np.testing.assert_allclose(u8b.scores(c), u8.scores(b), atol=1e-6)
+    # flush-pad correctness: a lone sub-patch stream is padded INSIDE its
+    # one valid patch — with a wrong pad value this diverges wildly from
+    # the f32 server's identical case
+    short = audio[: cfg.frontend.window_length * 3]
+    f_s = f32.open(); f32.feed(f_s, short); f32.flush(f_s)
+    u_s = u8.open(); u8.feed(u_s, short); u8.flush(u_s)
+    np.testing.assert_allclose(u8.scores(u_s), f32.scores(f_s), atol=5e-2)
+
+
 def test_closed_then_reopened_slot_state_is_fresh(setup):
     cfg, variables, wav = setup
     srv = BatchedStreamingServer(cfg, variables, max_streams=2, chunk_patches=5)
