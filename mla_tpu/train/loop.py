@@ -207,15 +207,22 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
 
     start_step = 0
     if auto_resume and ckpt.latest_step() is not None:
+        init_state = state  # jit-initialized global state (same cfg/seed)
         state, sampler_st = ckpt.restore(abstract_state)
-        state = (
-            jax.tree.map(
-                lambda a, s: jax.make_array_from_process_local_data(s, np.asarray(a)),
-                state, st_shardings,
-            )
-            if multihost
-            else jax.device_put(state, st_shardings)
-        )
+        if multihost:
+            # assemble numeric leaves into global arrays; typed PRNG keys
+            # can't pass through np.asarray — but dropout_key is a pure
+            # function of cfg.train.seed, so the jit-init leaf IS the
+            # checkpointed value (it never changes during training)
+            def _put(restored, init_leaf, sh):
+                dt = getattr(restored, "dtype", None)
+                if dt is not None and jax.dtypes.issubdtype(dt, jax.dtypes.prng_key):
+                    return init_leaf
+                return jax.make_array_from_process_local_data(sh, np.asarray(restored))
+
+            state = jax.tree.map(_put, state, init_state, st_shardings)
+        else:
+            state = jax.device_put(state, st_shardings)
         if sampler is not None and sampler_st:
             sampler.load_state_dict(sampler_st)
         elif sampler_st and sampler_st.get("pipeline") == "random":

@@ -54,6 +54,32 @@ def main_fit():
     }))
 
 
+def main_fit_resume():
+    """Multi-host Orbax checkpoint + deterministic resume: train 3 steps
+    (checkpoint at 3), then auto_resume to 6 — the resumed segment's losses
+    must equal an uninterrupted run's steps 4-6 (compared by the test)."""
+    import dataclasses
+
+    started = initialize()
+    assert started and jax.process_count() == 2, (started, jax.process_count())
+    from mla_tpu.train.loop import fit
+
+    ws = os.environ["MLA_WORKSPACE"]
+    cfg = fit_config()
+    cfg3 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_steps=3, checkpoint_every=3)
+    )
+    fit(cfg3, workspace=ws, log=False)
+    cfg6 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_steps=6, checkpoint_every=3)
+    )
+    res = fit(cfg6, workspace=ws, log=False, auto_resume=True)
+    print(json.dumps({
+        "process": jax.process_index(),
+        "losses": [h["loss"] for h in res.history],
+    }))
+
+
 def main():
     started = initialize()
     assert started and jax.process_count() == 2, (started, jax.process_count())
@@ -104,7 +130,10 @@ def main():
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 1 and sys.argv[1] == "fit":
+    mode = sys.argv[1] if len(sys.argv) > 1 else "step"
+    if mode == "fit":
         main_fit()
+    elif mode == "fit_resume":
+        main_fit_resume()
     else:
         main()

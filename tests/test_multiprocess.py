@@ -120,3 +120,33 @@ def test_two_process_fit_matches_single_process(tmp_path):
     ref_losses = [h["loss"] for h in ref.history]
     np.testing.assert_allclose(recs[0]["losses"], ref_losses, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(recs[0]["mAP"], ref.eval_stats[-1]["mAP"], atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_checkpoint_resume(tmp_path):
+    """Multi-host Orbax checkpoint + deterministic resume: both processes
+    save/restore through the SAME checkpoint dir, and the resumed segment
+    (steps 4-6 after a restart at step 3) matches an uninterrupted
+    single-process run — balanced-sampler position included."""
+    import dataclasses
+
+    env = {"MLA_WORKSPACE": str(tmp_path / "mp")}
+    recs, errs = _launch_workers("fit_resume", env)
+    if errs:
+        env = {"MLA_WORKSPACE": str(tmp_path / "mp2")}
+        recs, errs = _launch_workers("fit_resume", env)
+    assert not errs, errs
+    assert set(recs) == {0, 1}
+    assert recs[0]["losses"] == recs[1]["losses"], recs
+    assert len(recs[0]["losses"]) == 3  # steps 4, 5, 6 only
+
+    from multiprocess_worker import fit_config
+    from mla_tpu.train.loop import fit
+
+    cfg = fit_config()
+    cfg6 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_steps=6, checkpoint_every=0)
+    )
+    ref = fit(cfg6, workspace=str(tmp_path / "sp"), log=False)
+    ref_tail = [h["loss"] for h in ref.history][-3:]
+    np.testing.assert_allclose(recs[0]["losses"], ref_tail, rtol=1e-5, atol=1e-6)
