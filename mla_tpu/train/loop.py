@@ -9,6 +9,8 @@ device_put of the batch (T3/T9)."""
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
@@ -38,6 +40,24 @@ class FitResult:
     state: TrainState
     history: List[Dict[str, float]] = field(default_factory=list)
     eval_stats: List[Dict[str, float]] = field(default_factory=list)
+    interrupted: bool = False  # preempted mid-run (checkpoint was saved)
+
+
+# --- graceful preemption (SURVEY.md §5 failure detection/recovery row) ------
+# Cloud TPU preemptions deliver SIGTERM with a grace window; fit() installs
+# a handler that finishes the in-flight step, saves a checkpoint, and
+# returns (interrupted=True) so a restarted job resumes with auto_resume.
+_PREEMPTED = threading.Event()
+
+
+def _on_preempt_signal(signum, frame):  # pragma: no cover - exercised via
+    _PREEMPTED.set()                    # request_preemption + subprocess test
+
+
+def request_preemption():
+    """Programmatic equivalent of SIGTERM: ask a running fit() to finish the
+    current step, checkpoint, and return. Safe from any thread."""
+    _PREEMPTED.set()
 
 
 def _input_kind(ds: ArrayDataset, trunk: str) -> str:
@@ -246,6 +266,35 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             host_index=jax.process_index(), host_count=nproc,
         )
 
+    last_saved = -1
+
+    def save_ckpt(step: int):
+        nonlocal last_saved
+        if step == last_saved:  # preempt right after a periodic save
+            return
+        last_saved = step
+        # every input path saves a sampler dict, so restore never has to
+        # guess whether the item exists (ADVICE.md round 1, medium)
+        if sampler is not None:
+            samp_st = sampler.state_dict()
+        elif use_grain:  # stateless: position == training step
+            samp_st = {"pipeline": "grain", "seed": cfg.train.seed, "step": step}
+        else:  # plain-random draws: persist the bit-generator state
+            samp_st = {"pipeline": "random", "step": step,
+                       "rng_state": rng.bit_generator.state}
+        import dataclasses as _dc
+
+        ckpt.save(step, state, samp_st, config=_dc.asdict(cfg))
+
+    # graceful preemption: SIGTERM/SIGINT finish the in-flight step, save,
+    # and return interrupted=True (signal handlers only exist on the main
+    # thread; elsewhere request_preemption() covers the same path)
+    _PREEMPTED.clear()
+    prev_handlers = {}
+    if threading.current_thread() is threading.main_thread():
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            prev_handlers[sig] = signal.signal(sig, _on_preempt_signal)
+
     # every host draws the SAME deterministic index stream (same seed) and
     # feeds only its rows — no cross-host coordination needed for sampling
     local_sl = distributed.local_batch_slice(bs) if multihost else slice(None)
@@ -289,22 +338,15 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             (step_i + 1) % cfg.train.checkpoint_every == 0
             or step_i + 1 == cfg.train.num_steps
         ):
-            # every input path saves a sampler dict, so restore never has to
-            # guess whether the item exists (ADVICE.md round 1, medium)
-            if sampler is not None:
-                samp_st = sampler.state_dict()
-            elif use_grain:  # stateless: position == training step
-                samp_st = {"pipeline": "grain", "seed": cfg.train.seed, "step": step_i + 1}
-            else:  # plain-random draws: persist the bit-generator state
-                samp_st = {
-                    "pipeline": "random",
-                    "step": step_i + 1,
-                    "rng_state": rng.bit_generator.state,
-                }
-            import dataclasses as _dc
+            save_ckpt(step_i + 1)
+        if _PREEMPTED.is_set():
+            say(f"preemption requested — checkpointing at step {step_i + 1} and exiting")
+            save_ckpt(step_i + 1)
+            result.interrupted = True
+            break
 
-            ckpt.save(step_i + 1, state, samp_st, config=_dc.asdict(cfg))
-
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     ckpt.wait()
     if writer:
         writer.close()

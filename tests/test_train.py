@@ -233,3 +233,114 @@ def test_scalar_log_written(tmp_path):
     cfg = _tiny_cfg(tmp_path, steps=10)
     fit(cfg, log=False)
     assert os.path.exists(os.path.join(str(tmp_path), "scalars.csv"))
+
+
+def test_request_preemption_checkpoints_and_resumes(tmp_path):
+    """Graceful preemption (SURVEY.md §5 failure-recovery row): a preempt
+    request makes fit() finish the in-flight step, checkpoint, and return
+    interrupted=True; auto_resume then reproduces an uninterrupted run."""
+    import threading
+
+    from mla_tpu.train import loop as tl
+
+    cfg = _tiny_cfg(tmp_path / "pre", steps=40)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, log_every=1, eval_every=40,
+                                       checkpoint_every=0),
+    )
+    # fire the preempt request from another thread once a few steps landed
+    stop_probe = threading.Event()
+
+    def preempt_when_progressed():
+        import time as _t
+
+        path = os.path.join(cfg.workspace, "scalars.csv")
+        while not stop_probe.is_set():
+            if os.path.exists(path) and sum(1 for _ in open(path)) > 4:
+                tl.request_preemption()
+                return
+            _t.sleep(0.02)
+
+    t = threading.Thread(target=preempt_when_progressed, daemon=True)
+    t.start()
+    res = fit(cfg, log=False)
+    stop_probe.set()
+    t.join(timeout=5)
+    assert res.interrupted is True
+    s = res.history[-1]["step"]
+    assert 0 < s < 40  # actually stopped early
+
+    # resumed run continues from s and matches an uninterrupted run
+    total = s + 3
+    cfg_resume = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_steps=total, log_every=1,
+                                       eval_every=total, checkpoint_every=0),
+    )
+    res2 = fit(cfg_resume, log=False, auto_resume=True)
+    assert res2.interrupted is False
+    assert [h["step"] for h in res2.history] == [s + 1, s + 2, s + 3]
+
+    cfg_ref = dataclasses.replace(
+        cfg_resume, workspace=str(tmp_path / "ref"),
+    )
+    ref = fit(cfg_ref, log=False)
+    ref_tail = [h["loss"] for h in ref.history if h["step"] > s]
+    np.testing.assert_allclose([h["loss"] for h in res2.history], ref_tail,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_sigterm_preempts_subprocess(tmp_path):
+    """A REAL SIGTERM to a training process triggers the checkpoint-and-exit
+    path (exit 0, interrupted flag, checkpoint on disk at the last step)."""
+    import json
+    import signal as _signal
+    import subprocess
+    import sys
+    import time as _t
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ws = str(tmp_path / "ws")
+    child = (
+        "import json, sys\n"
+        "from mla_tpu.config import Config, DataConfig, ModelConfig, TrainConfig\n"
+        "from mla_tpu.train.loop import fit\n"
+        "cfg = Config(name='sigterm_test', workspace=sys.argv[1],\n"
+        "    model=ModelConfig(variant='single_attention', trunk='none', n_classes=8,\n"
+        "                      n_blocks=1, hidden_units=32, compute_dtype='float32'),\n"
+        "    data=DataConfig(dataset='synthetic_audioset', n_train_clips=64,\n"
+        "                    n_eval_clips=16, clip_seconds=2.0),\n"
+        "    train=TrainConfig(batch_size=16, num_steps=10**7, log_every=1,\n"
+        "                      eval_every=10**7, checkpoint_every=0, data_parallel=1))\n"
+        "res = fit(cfg, log=False)\n"
+        "print(json.dumps({'interrupted': res.interrupted,\n"
+        "                  'last_step': res.history[-1]['step']}))\n"
+    )
+    env = {
+        "PATH": os.environ.get("PATH", ""),
+        "HOME": os.environ.get("HOME", "/root"),
+        "PYTHONPATH": repo,
+        "JAX_PLATFORMS": "cpu",
+    }
+    p = subprocess.Popen([sys.executable, "-u", "-c", child, ws], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    scalars = os.path.join(ws, "scalars.csv")
+    deadline = _t.time() + 180
+    while _t.time() < deadline:
+        if os.path.exists(scalars) and sum(1 for _ in open(scalars)) > 4:
+            break
+        if p.poll() is not None:
+            raise AssertionError(f"child died early: {p.communicate()[1][-800:]}")
+        _t.sleep(0.05)
+    else:
+        p.kill()
+        raise AssertionError("child made no progress before deadline")
+    p.send_signal(_signal.SIGTERM)
+    out, err = p.communicate(timeout=180)
+    assert p.returncode == 0, err[-800:]
+    rec = json.loads([ln for ln in out.splitlines() if ln.startswith("{")][-1])
+    assert rec["interrupted"] is True
+
+    from mla_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(os.path.join(ws, "checkpoints", "sigterm_test"))
+    assert mgr.latest_step() == rec["last_step"]
