@@ -164,6 +164,9 @@ class TrainConfig:
     # sanitizer toggle (SURVEY.md §5: jax_debug_nans covers the realistic
     # failure class; there is no shared-memory race surface under XLA)
     debug_nans: bool = False
+    # optional TensorBoard event-file sink next to the CSV scalars
+    # (workspace/tensorboard/<config name>; needs tensorflow importable)
+    tensorboard: bool = False
     # front-end DFT precision inside the TRAIN step only (None = inherit
     # frontend.precision). "default" (bf16) is ~6x cheaper and training is
     # robust to the ~1e-2 log-mel error; eval/inference keep full parity.

@@ -135,7 +135,14 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         jax.config.update("jax_debug_nans", True)
     logger = create_logging(os.path.join(workspace, "logs"), cfg.name) if log else None
     writer = (
-        ScalarWriter(os.path.join(workspace, "scalars.csv"))
+        ScalarWriter(
+            os.path.join(workspace, "scalars.csv"),
+            tensorboard_dir=(
+                os.path.join(workspace, "tensorboard", cfg.name)
+                if cfg.train.tensorboard
+                else None
+            ),
+        )
         if distributed.is_primary()
         else None
     )

@@ -35,20 +35,43 @@ def create_logging(log_dir: str, name: str = "train", filemode: str = "w") -> _l
 
 class ScalarWriter:
     """Append-only CSV scalar log: step, key, value. Cheap, greppable,
-    plottable; no TensorBoard dependency required on the pod."""
+    plottable; no TensorBoard dependency required on the pod.
 
-    def __init__(self, path: str):
+    ``tensorboard_dir`` adds an OPTIONAL TensorBoard event-file sink
+    (tf.summary; degrades to CSV-only with a warning if tensorflow is not
+    importable) — pair with the ``profile`` CLI verb's jax.profiler traces
+    for the full TensorBoard view (SURVEY.md §5 observability row)."""
+
+    def __init__(self, path: str, tensorboard_dir: Optional[str] = None):
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._new = not os.path.exists(path)
         self._f = open(path, "a", newline="")
         self._w = csv.writer(self._f)
         if self._new:
             self._w.writerow(["step", "key", "value"])
+        self._tb = self._tf = None
+        if tensorboard_dir:
+            try:
+                import tensorflow as tf  # baked into this image; optional
+
+                self._tf = tf
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except Exception as e:  # pragma: no cover - env-dependent
+                _logging.getLogger("mla_tpu").warning(
+                    "tensorboard sink unavailable (%s); CSV only", e
+                )
 
     def write(self, step: int, scalars: Dict[str, float]):
         for k, v in scalars.items():
             self._w.writerow([step, k, float(v)])
         self._f.flush()
+        if self._tb is not None:
+            with self._tb.as_default():
+                for k, v in scalars.items():
+                    self._tf.summary.scalar(k, float(v), step=step)
+            self._tb.flush()
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -344,3 +344,16 @@ def test_sigterm_preempts_subprocess(tmp_path):
 
     mgr = CheckpointManager(os.path.join(ws, "checkpoints", "sigterm_test"))
     assert mgr.latest_step() == rec["last_step"]
+
+
+def test_tensorboard_scalar_sink(tmp_path):
+    """train.tensorboard=True writes TensorBoard event files next to the
+    CSV (optional sink; SURVEY.md §5 observability row)."""
+    pytest.importorskip("tensorflow")
+    cfg = _tiny_cfg(tmp_path, steps=10)
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(cfg.train, tensorboard=True))
+    fit(cfg, log=False)
+    tb_dir = os.path.join(str(tmp_path), "tensorboard", cfg.name)
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events, os.listdir(tb_dir)
+    assert os.path.getsize(os.path.join(tb_dir, events[0])) > 0
