@@ -110,13 +110,20 @@ def cmd_extract(args):
 
 
 def cmd_train(args):
+    # multi-host: the SAME command on every host joins one training run
+    # (env-driven JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID,
+    # or Cloud-TPU auto-detection); single-process this is a no-op
+    from mla_tpu.parallel.distributed import initialize
+
+    initialize()
     cfg = _load_cfg(args)
     from mla_tpu.train.loop import fit
 
     result = fit(cfg, workspace=args.workspace, auto_resume=args.resume)
     last_eval = result.eval_stats[-1] if result.eval_stats else {}
     print(_jdump({"final_loss": result.history[-1]["loss"] if result.history else None,
-                      **{k: v for k, v in last_eval.items()}}))
+                      **{k: v for k, v in last_eval.items()},
+                      **({"interrupted": True} if result.interrupted else {})}))
 
 
 def cmd_eval(args):

@@ -153,7 +153,8 @@ class TrainConfig:
     gradient_clip_norm: float = 0.0  # 0 = off
     num_steps: int = 1000
     eval_every: int = 200
-    checkpoint_every: int = 500  # 0 disables checkpointing entirely
+    checkpoint_every: int = 500  # 0 disables PERIODIC checkpointing (a
+    # graceful preemption still saves one so the run stays resumable)
     keep_checkpoints: int = 3
     seed: int = 0
     log_every: int = 20

@@ -93,7 +93,10 @@ def mulaw_encode(x: np.ndarray) -> np.ndarray:
     return np.asarray(np.round((y + 1.0) * 127.5), np.uint8)
 
 
-def mulaw_decode(q: np.ndarray) -> np.ndarray:
-    """uint8 mu-law code -> float32 [-1, 1] (host-side inverse)."""
-    y = np.asarray(q, np.float32) / 127.5 - 1.0
-    return np.sign(y) * (np.expm1(np.abs(y) * np.log1p(MULAW_MU))) / MULAW_MU
+def mulaw_decode(q, xp=np):
+    """uint8 mu-law code -> float32 [-1, 1]. ``xp`` selects the array
+    module: numpy on host, jax.numpy inside the server's jitted chunk
+    program — ONE formula for both sides of the wire, so encoder and
+    decoder cannot drift apart."""
+    y = xp.asarray(q).astype(xp.float32) / 127.5 - 1.0
+    return xp.sign(y) * xp.expm1(xp.abs(y) * float(np.log1p(MULAW_MU))) / MULAW_MU

@@ -44,13 +44,9 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
     int16 wire format, half the bytes of f32), 8-bit mu-law (Content-Type
     audio/basic, G.711-style mu=255 — quarter of f32), or raw
     little-endian float32 PCM (anything else)."""
-    if content_type.startswith("audio/wav") or body[:4] == b"RIFF":
-        from mla_tpu.data import audio_io
-
-        wav, sr = audio_io.read_wav_bytes(body)
-        if sr != sample_rate:
-            wav = audio_io.resample(wav, sr, sample_rate)
-        return wav
+    # explicit Content-Types take precedence over magic sniffing: mu-law
+    # bytes are dense in [0,255], so a chunk CAN legitimately start with
+    # b"RIFF" — only sniff when the client didn't declare a raw format
     if content_type.startswith("audio/L16") or content_type.startswith("audio/l16"):
         if len(body) % 2:
             raise ValueError("audio/L16 body length must be a multiple of 2 (int16 LE)")
@@ -59,6 +55,13 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
         # uint8 arrays are mu-law codes by server convention; with
         # transfer_dtype="uint8" the bytes go to HBM still compressed
         return np.frombuffer(body, dtype=np.uint8)
+    if content_type.startswith("audio/wav") or body[:4] == b"RIFF":
+        from mla_tpu.data import audio_io
+
+        wav, sr = audio_io.read_wav_bytes(body)
+        if sr != sample_rate:
+            wav = audio_io.resample(wav, sr, sample_rate)
+        return wav
     if len(body) % 4:
         raise ValueError(
             "raw PCM body length must be a multiple of 4 (float32 LE); "

@@ -90,12 +90,9 @@ class BatchedStreamingServer:
             if wav.dtype == jnp.int16:
                 wav = wav.astype(jnp.float32) / 32768.0
             elif wav.dtype == jnp.uint8:  # mu-law expansion on device
-                from mla_tpu.data.audio_io import MULAW_MU
+                from mla_tpu.data.audio_io import mulaw_decode
 
-                yv = wav.astype(jnp.float32) / 127.5 - 1.0
-                wav = jnp.sign(yv) * jnp.expm1(
-                    jnp.abs(yv) * jnp.log1p(MULAW_MU)
-                ) / MULAW_MU
+                wav = mulaw_decode(wav, xp=jnp)
             patches = fe.apply_frontend(wav, cfg.frontend)  # [S, P, 96, 64]
             levels = self.model.apply(self.variables, patches, method="segment_logits")
             p = patches.shape[1]

@@ -51,6 +51,10 @@ _PREEMPTED = threading.Event()
 
 
 def _on_preempt_signal(signum, frame):  # pragma: no cover - exercised via
+    # a SECOND Ctrl-C escalates to the normal abort path (a hung compile or
+    # stuck step would otherwise be unkillable short of SIGKILL)
+    if signum == signal.SIGINT and _PREEMPTED.is_set():
+        raise KeyboardInterrupt
     _PREEMPTED.set()                    # request_preemption + subprocess test
 
 
@@ -302,61 +306,99 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         for sig in (signal.SIGTERM, signal.SIGINT):
             prev_handlers[sig] = signal.signal(sig, _on_preempt_signal)
 
+    if multihost:
+        # hosts may receive SIGTERM at different instants; acting on a
+        # process-local flag would desynchronize the collective order
+        # (host A saving while host B steps -> deadlock). Agree by
+        # all-reducing the flag at the shared log cadence: every host
+        # contributes 0/1 per local device, max > 0 means ANY host was
+        # signaled, and all hosts see the same answer at the same step.
+        flag_sh = pmesh.batch_sharding(mesh, 1)
+        flag_max = jax.jit(jax.numpy.max, out_shardings=pmesh.replicated(mesh))
+        n_local = sum(
+            1 for d in mesh.devices.flat if d.process_index == jax.process_index()
+        )
+
+        def preempt_agreed(step: int) -> bool:
+            if step % cfg.train.log_every and step != cfg.train.num_steps:
+                return False  # fixed cadence — every host must participate
+            local = np.full((n_local,), float(_PREEMPTED.is_set()), np.float32)
+            g = jax.make_array_from_process_local_data(
+                flag_sh, local, (mesh.devices.size,)
+            )
+            return bool(pmesh.fetch(flag_max(g)) > 0.0)
+
+    else:
+        def preempt_agreed(step: int) -> bool:
+            return _PREEMPTED.is_set()
+
     # every host draws the SAME deterministic index stream (same seed) and
     # feeds only its rows — no cross-host coordination needed for sampling
     local_sl = distributed.local_batch_slice(bs) if multihost else slice(None)
     t_last = time.perf_counter()
     clips_done = 0
-    for step_i in range(start_step, cfg.train.num_steps):
-        if grain_it is not None:
-            bx, by = next(grain_it)  # already this host's slice
-            x = pmesh.put_local_batch(bx, mesh, bs)
-            y = pmesh.put_local_batch(np.asarray(by, np.float32), mesh, bs)
-        else:
-            idx = sampler.next_batch() if sampler else rng.integers(0, len(train_ds.x), bs)
-            if use_device_data:
-                x, y = gather(x_all, y_all, pmesh.put_replicated(np.asarray(idx), mesh))
+    try:
+        for step_i in range(start_step, cfg.train.num_steps):
+            if grain_it is not None:
+                bx, by = next(grain_it)  # already this host's slice
+                x = pmesh.put_local_batch(bx, mesh, bs)
+                y = pmesh.put_local_batch(np.asarray(by, np.float32), mesh, bs)
             else:
-                x = pmesh.put_local_batch(train_ds.x[idx[local_sl]], mesh, bs)
-                y = pmesh.put_local_batch(
-                    np.asarray(train_ds.y[idx[local_sl]], np.float32), mesh, bs
+                idx = (
+                    sampler.next_batch() if sampler
+                    else rng.integers(0, len(train_ds.x), bs)
                 )
-        state, loss = train_step(state, x, y)
-        clips_done += bs
-        if (step_i + 1) % cfg.train.log_every == 0 or step_i == 0:
-            loss_v = float(pmesh.fetch(loss))
-            dt = time.perf_counter() - t_last
-            cps = clips_done / dt if dt > 0 else 0.0
-            result.history.append({"step": step_i + 1, "loss": loss_v, "clips_per_sec": cps})
-            if writer:
-                writer.write(step_i + 1, {"loss": loss_v, "clips_per_sec": cps})
-            say(f"step {step_i + 1} loss {loss_v:.4f} {cps:.1f} clips/s")
-            t_last = time.perf_counter()
-            clips_done = 0
-        if (step_i + 1) % cfg.train.eval_every == 0 or step_i + 1 == cfg.train.num_steps:
-            stats = evaluate(cfg, model, state, eval_ds, eval_step, mesh,
-                             x_device=eval_x_dev)
-            stats["step"] = step_i + 1
-            result.eval_stats.append(stats)
-            if writer:
-                writer.write(step_i + 1, {k: v for k, v in stats.items() if k != "step"})
-            say(f"eval @ {step_i + 1}: " + " ".join(f"{k}={v:.4f}" for k, v in stats.items()))
-        if cfg.train.checkpoint_every > 0 and (
-            (step_i + 1) % cfg.train.checkpoint_every == 0
-            or step_i + 1 == cfg.train.num_steps
-        ):
-            save_ckpt(step_i + 1)
-        if _PREEMPTED.is_set():
-            say(f"preemption requested — checkpointing at step {step_i + 1} and exiting")
-            save_ckpt(step_i + 1)
-            result.interrupted = True
-            break
-
-    for sig, h in prev_handlers.items():
-        signal.signal(sig, h)
-    ckpt.wait()
-    if writer:
-        writer.close()
+                if use_device_data:
+                    x, y = gather(
+                        x_all, y_all, pmesh.put_replicated(np.asarray(idx), mesh)
+                    )
+                else:
+                    x = pmesh.put_local_batch(train_ds.x[idx[local_sl]], mesh, bs)
+                    y = pmesh.put_local_batch(
+                        np.asarray(train_ds.y[idx[local_sl]], np.float32), mesh, bs
+                    )
+            state, loss = train_step(state, x, y)
+            clips_done += bs
+            if (step_i + 1) % cfg.train.log_every == 0 or step_i == 0:
+                loss_v = float(pmesh.fetch(loss))
+                dt = time.perf_counter() - t_last
+                cps = clips_done / dt if dt > 0 else 0.0
+                result.history.append(
+                    {"step": step_i + 1, "loss": loss_v, "clips_per_sec": cps}
+                )
+                if writer:
+                    writer.write(step_i + 1, {"loss": loss_v, "clips_per_sec": cps})
+                say(f"step {step_i + 1} loss {loss_v:.4f} {cps:.1f} clips/s")
+                t_last = time.perf_counter()
+                clips_done = 0
+            if (step_i + 1) % cfg.train.eval_every == 0 or step_i + 1 == cfg.train.num_steps:
+                stats = evaluate(cfg, model, state, eval_ds, eval_step, mesh,
+                                 x_device=eval_x_dev)
+                stats["step"] = step_i + 1
+                result.eval_stats.append(stats)
+                if writer:
+                    writer.write(step_i + 1, {k: v for k, v in stats.items() if k != "step"})
+                say(f"eval @ {step_i + 1}: "
+                    + " ".join(f"{k}={v:.4f}" for k, v in stats.items()))
+            if cfg.train.checkpoint_every > 0 and (
+                (step_i + 1) % cfg.train.checkpoint_every == 0
+                or step_i + 1 == cfg.train.num_steps
+            ):
+                save_ckpt(step_i + 1)
+            if preempt_agreed(step_i + 1):
+                say(f"preemption requested — checkpointing at step {step_i + 1} and exiting")
+                save_ckpt(step_i + 1)
+                result.interrupted = True
+                break
+    finally:
+        # restore handlers and finalize pending async saves even when the
+        # loop raises (debug_nans, eval errors, KeyboardInterrupt) — a
+        # leaked handler would silently eat Ctrl-C for the process lifetime
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
+        ckpt.wait()
+        if writer:
+            writer.close()
     result.state = state
     return result
 

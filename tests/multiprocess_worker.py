@@ -80,6 +80,39 @@ def main_fit_resume():
     }))
 
 
+def main_fit_preempt():
+    """ONE host (process 0) gets a preempt request mid-run; the per-step
+    flag agreement must make BOTH hosts checkpoint at the same step and
+    exit interrupted — acting on the local flag alone would deadlock the
+    collectives (host 0 saving while host 1 steps)."""
+    import dataclasses
+
+    started = initialize()
+    assert started and jax.process_count() == 2, (started, jax.process_count())
+    from mla_tpu.train import loop as tl
+
+    cfg = fit_config()
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, num_steps=40, log_every=2,
+                                       checkpoint_every=0)
+    )
+    if jax.process_index() == 0:
+        orig = tl.ScalarWriter.write
+
+        def write_then_preempt(self, step, scalars):
+            orig(self, step, scalars)
+            if step == 4:
+                tl.request_preemption()
+
+        tl.ScalarWriter.write = write_then_preempt
+    res = tl.fit(cfg, workspace=os.environ["MLA_WORKSPACE"], log=False)
+    print(json.dumps({
+        "process": jax.process_index(),
+        "interrupted": res.interrupted,
+        "last_step": res.history[-1]["step"],
+    }))
+
+
 def main():
     started = initialize()
     assert started and jax.process_count() == 2, (started, jax.process_count())
@@ -135,5 +168,7 @@ if __name__ == "__main__":
         main_fit()
     elif mode == "fit_resume":
         main_fit_resume()
+    elif mode == "fit_preempt":
+        main_fit_preempt()
     else:
         main()

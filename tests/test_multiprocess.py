@@ -150,3 +150,28 @@ def test_two_process_checkpoint_resume(tmp_path):
     ref = fit(cfg6, workspace=str(tmp_path / "sp"), log=False)
     ref_tail = [h["loss"] for h in ref.history][-3:]
     np.testing.assert_allclose(recs[0]["losses"], ref_tail, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_two_process_preemption_agreement(tmp_path):
+    """A preempt request on ONE host makes BOTH hosts checkpoint at the
+    same agreed step and exit interrupted=True — the flag allreduce keeps
+    the collective order identical across hosts (a local-flag check would
+    deadlock: one host saving while the other runs the next train step)."""
+    env = {"MLA_WORKSPACE": str(tmp_path / "mp")}
+    recs, errs = _launch_workers("fit_preempt", env)
+    if errs:
+        env = {"MLA_WORKSPACE": str(tmp_path / "mp2")}
+        recs, errs = _launch_workers("fit_preempt", env)
+    assert not errs, errs
+    assert set(recs) == {0, 1}
+    for p in (0, 1):
+        assert recs[p]["interrupted"] is True, recs
+        assert recs[p]["last_step"] == 4, recs  # agreed at the shared cadence
+
+    from mla_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(
+        os.path.join(env["MLA_WORKSPACE"], "checkpoints", "mp_fit")
+    )
+    assert mgr.latest_step() == 4

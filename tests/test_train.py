@@ -235,12 +235,12 @@ def test_scalar_log_written(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "scalars.csv"))
 
 
-def test_request_preemption_checkpoints_and_resumes(tmp_path):
+def test_request_preemption_checkpoints_and_resumes(tmp_path, monkeypatch):
     """Graceful preemption (SURVEY.md §5 failure-recovery row): a preempt
     request makes fit() finish the in-flight step, checkpoint, and return
-    interrupted=True; auto_resume then reproduces an uninterrupted run."""
-    import threading
-
+    interrupted=True; auto_resume then reproduces an uninterrupted run.
+    The request fires deterministically from inside step 5's scalar write
+    (a probe thread racing the loop flaked on fast machines)."""
     from mla_tpu.train import loop as tl
 
     cfg = _tiny_cfg(tmp_path / "pre", steps=40)
@@ -248,27 +248,19 @@ def test_request_preemption_checkpoints_and_resumes(tmp_path):
         cfg, train=dataclasses.replace(cfg.train, log_every=1, eval_every=40,
                                        checkpoint_every=0),
     )
-    # fire the preempt request from another thread once a few steps landed
-    stop_probe = threading.Event()
+    orig_write = tl.ScalarWriter.write
 
-    def preempt_when_progressed():
-        import time as _t
+    def write_then_preempt(self, step, scalars):
+        orig_write(self, step, scalars)
+        if step == 5:
+            tl.request_preemption()
 
-        path = os.path.join(cfg.workspace, "scalars.csv")
-        while not stop_probe.is_set():
-            if os.path.exists(path) and sum(1 for _ in open(path)) > 4:
-                tl.request_preemption()
-                return
-            _t.sleep(0.02)
-
-    t = threading.Thread(target=preempt_when_progressed, daemon=True)
-    t.start()
+    monkeypatch.setattr(tl.ScalarWriter, "write", write_then_preempt)
     res = fit(cfg, log=False)
-    stop_probe.set()
-    t.join(timeout=5)
+    monkeypatch.setattr(tl.ScalarWriter, "write", orig_write)
     assert res.interrupted is True
     s = res.history[-1]["step"]
-    assert 0 < s < 40  # actually stopped early
+    assert s == 5  # flag set during step 5's write, checked at step end
 
     # resumed run continues from s and matches an uninterrupted run
     total = s + 3
