@@ -38,6 +38,11 @@ from mla_tpu.serve.server import BatchedStreamingServer
 _STREAM_RE = re.compile(r"^/v1/streams/(\d+)(?:/(audio|flush|scores))?$")
 
 
+class _BodyTooLarge(ValueError):
+    """Request body over the per-request cap (guards host RAM; long audio
+    should be streamed in chunks — that is the whole point of the API)."""
+
+
 def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarray:
     """Request body -> samples. Accepts a WAV file (audio/wav or RIFF
     magic), raw little-endian int16 PCM (Content-Type audio/L16 —
@@ -103,8 +108,12 @@ class _Handler(BaseHTTPRequestHandler):
     def _error(self, code: int, msg: str):
         self._reply(code, {"error": msg})
 
+    max_body_bytes = 64 * 1024 * 1024  # ~17 min of f32 audio per request
+
     def _read_body(self) -> bytes:
         n = int(self.headers.get("Content-Length") or 0)
+        if n > self.max_body_bytes:
+            raise _BodyTooLarge(n)
         return self.rfile.read(n) if n else b""
 
     def do_GET(self):
@@ -150,7 +159,12 @@ class _Handler(BaseHTTPRequestHandler):
         m = _STREAM_RE.match(self.path.split("?")[0])
         if m and m.group(2) == "audio":
             sid = int(m.group(1))
-            body = self._read_body()
+            try:
+                body = self._read_body()
+            except _BodyTooLarge as e:
+                self._error(413, f"body {e.args[0]} bytes exceeds "
+                                 f"{self.max_body_bytes}; stream audio in chunks")
+                return
             try:
                 samples = _decode_audio(body, self.headers.get("Content-Type", ""),
                                         st.cfg.frontend.sample_rate)

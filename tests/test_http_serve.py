@@ -182,6 +182,22 @@ def test_mulaw_body_decodes(served):
     _req(base, "DELETE", f"/v1/streams/{sid}")
 
 
+def test_body_size_cap(served):
+    """Oversized audio bodies get 413 (unbounded Content-Length reads would
+    let one request OOM the serving host); the cap is per-request — long
+    audio streams fine in chunks."""
+    _, _, _, base = served
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    req = urllib.request.Request(base + f"/v1/streams/{sid}/audio",
+                                 data=b"\0\0\0\0", method="POST")
+    req.add_header("Content-Type", "application/octet-stream")
+    req.add_header("Content-Length", str(100 * 1024 * 1024 * 1024))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 413
+    _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
 def test_error_paths(served):
     _, _, _, base = served
     with pytest.raises(urllib.error.HTTPError) as e:
