@@ -60,6 +60,12 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.ring_pop_chunk.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.c_long
     ]
+    lib.mulaw_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_long, ctypes.POINTER(ctypes.c_uint8)
+    ]
+    lib.mulaw_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.POINTER(ctypes.c_float)
+    ]
     return lib
 
 
@@ -114,6 +120,30 @@ def resample(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     if got < 0:
         raise RuntimeError(f"native resample failed ({got})")
     return out[:got]
+
+
+def mulaw_encode(x: np.ndarray) -> np.ndarray:
+    """float32 [-1,1] -> uint8 mu-law codes (native; == audio_io.mulaw_encode)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native audio_ingest unavailable")
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty(len(x), np.uint8)
+    lib.mulaw_encode(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(x),
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out
+
+
+def mulaw_decode(q: np.ndarray) -> np.ndarray:
+    """uint8 mu-law codes -> float32 (native; == audio_io.mulaw_decode)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native audio_ingest unavailable")
+    q = np.ascontiguousarray(q, np.uint8)
+    out = np.empty(len(q), np.float32)
+    lib.mulaw_decode(q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(q),
+                     out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
 
 
 class NativeRingBuffer:

@@ -192,6 +192,32 @@ long resample_poly(const float* in, long n_in, long sr_in, long sr_out,
   return n_out;
 }
 
+// ---------- mu-law wire codec (G.711-style, mu=255) ----------
+// Same math as mla_tpu.data.audio_io.mulaw_{encode,decode} (the serving
+// wire format); the native tier lets high-rate feeders compress before the
+// HTTP hop without touching Python per block. nearbyint (round-half-even)
+// matches numpy's rounding exactly.
+
+void mulaw_encode(const float* in, long n, uint8_t* out) {
+  const double denom = std::log1p(255.0);
+  for (long i = 0; i < n; ++i) {
+    double x = std::max(-1.0, std::min(1.0, static_cast<double>(in[i])));
+    const double s = (x > 0.0) - (x < 0.0);
+    const double y = s * std::log1p(255.0 * std::fabs(x)) / denom;
+    const double q = std::nearbyint((y + 1.0) * 127.5);
+    out[i] = static_cast<uint8_t>(std::max(0.0, std::min(255.0, q)));
+  }
+}
+
+void mulaw_decode(const uint8_t* in, long n, float* out) {
+  const double lp = std::log1p(255.0);
+  for (long i = 0; i < n; ++i) {
+    const double y = in[i] / 127.5 - 1.0;
+    const double s = (y > 0.0) - (y < 0.0);
+    out[i] = static_cast<float>(s * std::expm1(std::fabs(y) * lp) / 255.0);
+  }
+}
+
 // ---------- Streaming ring buffer ----------
 
 struct RingBuffer {

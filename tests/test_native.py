@@ -92,3 +92,21 @@ def test_ring_buffer_chunks(rng):
     c2 = rb.pop_chunk(50, 40)
     np.testing.assert_array_equal(c2, x[40:90])
     assert len(rb) == 20
+
+
+def test_native_mulaw_matches_python(rng):
+    """The C++ wire codec is bit-identical to audio_io's numpy version
+    (nearbyint == numpy round-half-even) and round-trips within the 8-bit
+    mu-law error bound."""
+    from mla_tpu.data import audio_io
+
+    x = np.clip(rng.standard_normal(50000) * 0.5, -1, 1).astype(np.float32)
+    x[:4] = [0.0, 1.0, -1.0, 0.5]
+    enc_native = native.mulaw_encode(x)
+    enc_py = audio_io.mulaw_encode(x)
+    np.testing.assert_array_equal(enc_native, enc_py)
+    dec_native = native.mulaw_decode(enc_native)
+    # decode: C++ computes in double, numpy in float32 — ulp-level spread
+    np.testing.assert_allclose(dec_native, audio_io.mulaw_decode(enc_py),
+                               rtol=0, atol=5e-7)
+    assert np.abs(dec_native - x).max() < 2.2e-2
