@@ -27,26 +27,28 @@ import jax  # noqa: E402
 from mla_tpu.parallel.distributed import initialize, local_batch_slice  # noqa: E402
 
 
-def fit_config():
-    """Shared by the multi-host worker and the single-process reference."""
+def fit_config(pipeline: str = "numpy"):
+    """Shared by the multi-host worker and the single-process reference.
+    pipeline="grain" exercises the stateless host-sharded stream + the
+    per-step put_local_batch assembly (no device-resident gather)."""
     from mla_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 
     return Config(
         name="mp_fit",
         model=ModelConfig(variant="multi_level_attention", trunk="none", n_classes=8,
                           n_blocks=2, hidden_units=32, compute_dtype="float32"),
-        data=DataConfig(dataset="synthetic_audioset"),
+        data=DataConfig(dataset="synthetic_audioset", pipeline=pipeline),
         train=TrainConfig(batch_size=16, num_steps=6, data_parallel=-1, seed=0,
                           log_every=1, eval_every=6, checkpoint_every=0),
     )
 
 
-def main_fit():
+def main_fit(pipeline: str = "numpy"):
     started = initialize()
     assert started and jax.process_count() == 2, (started, jax.process_count())
     from mla_tpu.train.loop import fit
 
-    res = fit(fit_config(), workspace=os.environ["MLA_WORKSPACE"], log=False)
+    res = fit(fit_config(pipeline), workspace=os.environ["MLA_WORKSPACE"], log=False)
     print(json.dumps({
         "process": jax.process_index(),
         "losses": [h["loss"] for h in res.history],
@@ -166,6 +168,8 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "step"
     if mode == "fit":
         main_fit()
+    elif mode == "fit_grain":
+        main_fit("grain")
     elif mode == "fit_resume":
         main_fit_resume()
     elif mode == "fit_preempt":

@@ -123,6 +123,26 @@ def test_two_process_fit_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_fit_grain_pipeline_matches_single_process(tmp_path):
+    """Multi-host fit() over the stateless grain stream: each host pulls its
+    slice of every global batch (zero coordination) and assembles it with
+    put_local_batch — trajectory identical to a single-process grain run."""
+    env = {"MLA_WORKSPACE": str(tmp_path / "mp")}
+    recs, errs = _launch_workers("fit_grain", env)
+    if errs:
+        recs, errs = _launch_workers("fit_grain", env)
+    assert not errs, errs
+    assert recs[0]["losses"] == recs[1]["losses"], recs
+
+    from multiprocess_worker import fit_config
+    from mla_tpu.train.loop import fit
+
+    ref = fit(fit_config("grain"), workspace=str(tmp_path / "sp"), log=False)
+    np.testing.assert_allclose(recs[0]["losses"], [h["loss"] for h in ref.history],
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_two_process_checkpoint_resume(tmp_path):
     """Multi-host Orbax checkpoint + deterministic resume: both processes
     save/restore through the SAME checkpoint dir, and the resumed segment
