@@ -280,15 +280,24 @@ def cmd_weights(args):
             ))
         missing = sorted(set(tmpl) - set(flat))
         extra = sorted(set(flat) - set(tmpl))
-        if missing or extra:
+        if (missing or extra) and not args.allow_partial:
             raise SystemExit(f"weight-key mismatch: missing {missing[:4]}, "
-                             f"unexpected {extra[:4]}")
-        for k, v in tmpl.items():
-            if np.shape(flat[k]) != np.shape(v):
-                raise SystemExit(
-                    f"{k}: shape {np.shape(flat[k])} != expected {np.shape(v)}"
-                )
-        tree = flat_to_params(flat)
+                             f"unexpected {extra[:4]} "
+                             "(--allow_partial warm-starts the intersection)")
+        # --allow_partial: transfer learning — matched keys (e.g. a
+        # pretrained trunk) are imported, everything else keeps its fresh
+        # init (e.g. new heads for a different class count)
+        used = {k: flat[k] for k in tmpl if k in flat}
+        mismatched = {k for k, v in used.items() if np.shape(v) != np.shape(tmpl[k])}
+        if mismatched and not args.allow_partial:
+            k = sorted(mismatched)[0]
+            raise SystemExit(
+                f"{k}: shape {np.shape(used[k])} != expected {np.shape(tmpl[k])}"
+            )
+        used = {k: v for k, v in used.items() if k not in mismatched}
+        merged = dict(tmpl)
+        merged.update(used)
+        tree = flat_to_params(merged)
         state = state.replace(
             params=jax.tree.map(jnp.asarray, tree["params"]),
             batch_stats=jax.tree.map(jnp.asarray, tree.get("batch_stats", {})),
@@ -298,7 +307,8 @@ def cmd_weights(args):
                                           "step": 0})
         mgr.wait()
         mgr.close()
-        print(f"imported {len(flat)} arrays -> checkpoint step 0 in {ckpt_dir}")
+        print(f"imported {len(used)}/{len(tmpl)} arrays -> checkpoint step 0 "
+              f"in {ckpt_dir}")
         return
     raise SystemExit("weights: pass --out=<npz> or --load=<npz>")
 
@@ -453,6 +463,9 @@ def main(argv=None):
     sw.add_argument("--workspace", default=None)
     sw.add_argument("--out", default=None, help="dump latest checkpoint params to .npz")
     sw.add_argument("--load", default=None, help="import .npz as a step-0 checkpoint")
+    sw.add_argument("--allow_partial", action="store_true",
+                    help="warm-start only the matching keys (transfer "
+                         "learning: pretrained trunk + fresh heads)")
     sw.add_argument("--set", nargs="*")
     sw.set_defaults(fn=cmd_weights)
 

@@ -121,3 +121,55 @@ def test_weights_export_import_roundtrip(tmp_path, capsys):
     same_bn = jax.tree.map(lambda x, y: np.array_equal(np.asarray(x), np.asarray(y)),
                            sa.batch_stats, sb.batch_stats)
     assert all(jax.tree.leaves(same_bn)) and jax.tree.leaves(sa.batch_stats)
+
+
+def test_weights_partial_warm_start(tmp_path, capsys):
+    """weights --load --allow_partial: transfer learning — the pretrained
+    trunk imports, shape-mismatched heads (different class count) keep
+    their fresh init instead of erroring."""
+    import jax
+    import numpy as np
+
+    from mla_tpu.__main__ import main
+
+    base = ["--set", "model.conv_channels=8", "model.hidden_units=16",
+            "data.n_train_clips=8", "data.n_eval_clips=4",
+            "data.clip_seconds=2.0", "train.batch_size=8", "train.data_parallel=1",
+            "train.num_steps=4", "train.eval_every=4",
+            "train.checkpoint_every=4", "train.log_every=2"]
+    src = ["--config=esc50_single_attention"] + base
+    ws_a, ws_b = str(tmp_path / "a"), str(tmp_path / "b")
+    main(["train", f"--workspace={ws_a}"] + src)
+    npz = str(tmp_path / "w.npz")
+    main(["weights", f"--workspace={ws_a}", f"--out={npz}"] + src)
+    capsys.readouterr()
+
+    # import into a DIFFERENT class count: head shapes mismatch, trunk matches
+    dst = ["--config=esc50_single_attention"] + base[:1] + [
+        "model.n_classes=7"] + base[1:]
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):  # strict mode still refuses
+        main(["weights", f"--workspace={ws_b}", f"--load={npz}"] + dst)
+    main(["weights", f"--workspace={ws_b}", f"--load={npz}", "--allow_partial"] + dst)
+    out = capsys.readouterr().out
+    assert "imported" in out
+
+    from mla_tpu.config import get_config
+    from mla_tpu.train.loop import resume
+
+    def overrides(args):
+        return {p.split("=")[0]: p.split("=", 1)[1] for p in args}
+
+    cfg_a = get_config("esc50_single_attention", overrides(src[2:]))
+    cfg_b = get_config("esc50_single_attention", overrides(dst[2:]))
+    sa, _ = resume(cfg_a, ws_a)
+    sb, _ = resume(cfg_b, ws_b)
+    # trunk transferred exactly
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(sa.params["trunk_module"])[0]),
+        np.asarray(jax.tree.leaves(sb.params["trunk_module"])[0]),
+    )
+    # head shapes follow the NEW config (fresh init, 7 classes)
+    head_shapes = {tuple(np.shape(l)) for l in jax.tree.leaves(sb.params)}
+    assert any(s[-1] == 7 for s in head_shapes if s)
