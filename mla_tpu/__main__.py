@@ -74,10 +74,11 @@ def cmd_prep(args):
     if args.wav_dir:
         from mla_tpu.data.folder import pack_folder
 
+        folds = ([int(f) for f in args.folds.split(",")] if args.folds else None)
         n, classes = pack_folder(
             args.wav_dir, args.out, cfg.data.clip_seconds,
             cfg.frontend.sample_rate, labels_csv=args.labels_csv,
-            n_classes=cfg.model.n_classes,
+            n_classes=cfg.model.n_classes, folds=folds,
         )
         print(f"packed {n} clips / {len(classes)} classes -> {args.out}")
         return
@@ -408,6 +409,10 @@ def main(argv=None):
                     help="local wav corpus root (class subdirs or --labels_csv)")
     sp.add_argument("--labels_csv", default=None,
                     help="ESC-50/US8K-style metadata CSV for --wav_dir")
+    sp.add_argument("--folds", default=None,
+                    help="comma-separated CSV 'fold' values to keep, e.g. "
+                         "--folds=1,2,3,4 (train) / --folds=5 (eval) — the "
+                         "ESC-50/US8K cross-validation protocol")
     sp.add_argument("--set", nargs="*")
     sp.set_defaults(fn=cmd_prep)
 

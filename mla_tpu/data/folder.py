@@ -41,10 +41,14 @@ def _scan_subdirs(root: str) -> Tuple[List[str], List[str]]:
     return paths, names
 
 
-def _scan_csv(root: str, labels_csv: str) -> Tuple[List[str], List[str]]:
+def _scan_csv(root: str, labels_csv: str,
+              folds: Optional[Sequence[int]] = None) -> Tuple[List[str], List[str]]:
     """Metadata CSV -> (paths, class_name per path). Column detection:
     'filename' (or the first column) names the file; 'category'/'label'/
-    'class' names the class, else an integer 'target' column."""
+    'class' names the class, else an integer 'target' column. ``folds``
+    keeps only rows whose integer 'fold' column is in the set — the
+    ESC-50 / UrbanSound8K cross-validation protocol (train on folds
+    {1..k}\\{i}, eval on fold i)."""
     with open(labels_csv, newline="") as f:
         rows = list(csv.DictReader(f))
     if not rows:
@@ -54,20 +58,26 @@ def _scan_csv(root: str, labels_csv: str) -> Tuple[List[str], List[str]]:
                   next(iter(cols)))
     name_col = next((c for c in cols if c.lower() in ("category", "label", "class")), None)
     target_col = next((c for c in cols if c.lower() in ("target", "classid", "class_id")), None)
+    fold_col = next((c for c in cols if c.lower() == "fold"), None)
     if name_col is None and target_col is None:
         raise ValueError(
             f"{labels_csv}: need a category/label/class or target/classID column, "
             f"have {sorted(cols)}"
         )
+    if folds is not None and fold_col is None:
+        raise ValueError(f"{labels_csv}: fold filter given but no 'fold' column")
     # US8K nests files under fold dirs; scan the (invariant) dir list once
-    folds = sorted(
+    fold_dirs = sorted(
         d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
     )
+    keep = set(int(f) for f in folds) if folds is not None else None
     paths, names = [], []
     for r in rows:
+        if keep is not None and int(r[fold_col]) not in keep:
+            continue
         p = os.path.join(root, r[fn_col])
         if not os.path.exists(p):
-            p = next((os.path.join(root, d, r[fn_col]) for d in folds
+            p = next((os.path.join(root, d, r[fn_col]) for d in fold_dirs
                       if os.path.exists(os.path.join(root, d, r[fn_col]))), p)
         paths.append(p)
         names.append(r[name_col] if name_col else f"class_{int(r[target_col])}")
@@ -75,13 +85,25 @@ def _scan_csv(root: str, labels_csv: str) -> Tuple[List[str], List[str]]:
 
 
 def scan_folder(
-    root: str, labels_csv: Optional[str] = None
+    root: str, labels_csv: Optional[str] = None,
+    folds: Optional[Sequence[int]] = None,
 ) -> Tuple[List[str], np.ndarray, List[str]]:
     """-> (wav paths, int label per path, sorted class names)."""
-    paths, names = (_scan_csv(root, labels_csv) if labels_csv else _scan_subdirs(root))
+    if folds is not None and not labels_csv:
+        raise ValueError("fold filtering needs a metadata CSV with a 'fold' column")
+    paths, names = (
+        _scan_csv(root, labels_csv, folds) if labels_csv else _scan_subdirs(root)
+    )
     if not paths:
-        raise ValueError(f"no wav files found under {root}")
-    classes = sorted(set(names))
+        raise ValueError(f"no wav files found under {root}"
+                         + (f" for folds {sorted(folds)}" if folds else ""))
+    if folds is not None:
+        # the label space comes from the FULL csv: every fold split must
+        # share one class indexing even when a fold misses a class
+        _, all_names = _scan_csv(root, labels_csv, None)
+        classes = sorted(set(all_names))
+    else:
+        classes = sorted(set(names))
     index: Dict[str, int] = {c: i for i, c in enumerate(classes)}
     y = np.array([index[n] for n in names], np.int64)
     return paths, y, classes
@@ -94,11 +116,15 @@ def pack_folder(
     sample_rate: int = 16000,
     labels_csv: Optional[str] = None,
     n_classes: Optional[int] = None,
+    folds: Optional[Sequence[int]] = None,
 ) -> Tuple[int, List[str]]:
     """Pack a wav folder into the reference HDF5 layout; returns
     (n_clips, class_names). Clips are resampled to ``sample_rate`` and
-    zero-padded / center-trimmed to ``clip_seconds`` (static shapes)."""
-    paths, y_idx, classes = scan_folder(root, labels_csv)
+    zero-padded / center-trimmed to ``clip_seconds`` (static shapes).
+    ``folds`` selects CSV rows by their 'fold' column (CV protocol);
+    pass ``n_classes`` when packing fold subsets so every split shares
+    one label space even if a fold misses a class."""
+    paths, y_idx, classes = scan_folder(root, labels_csv, folds)
     c = n_classes or len(classes)
     if c < len(classes):
         raise ValueError(f"n_classes={c} < {len(classes)} classes found")

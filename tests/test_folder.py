@@ -98,3 +98,61 @@ def test_scan_errors(tmp_path):
     bad.write_text("a,b\n1,2\n")
     with pytest.raises(ValueError, match="column"):
         scan_folder(str(tmp_path), str(bad))
+
+def test_fold_filtering_cv_protocol(tmp_path):
+    """--folds selects CSV rows by their fold column (ESC-50/US8K CV
+    protocol), and every fold split shares the FULL csv's label space even
+    when a fold misses a class."""
+    _make_corpus(tmp_path, per_class=2, classes=("dog", "rain", "wind"))
+    meta = tmp_path / "meta.csv"
+    meta.write_text(
+        "filename,fold,target,category\n"
+        "dog/dog_0.wav,1,0,dog\n"
+        "dog/dog_1.wav,2,0,dog\n"
+        "rain/rain_0.wav,1,1,rain\n"
+        "rain/rain_1.wav,2,1,rain\n"
+        "wind/wind_0.wav,1,2,wind\n"
+        "wind/wind_1.wav,1,2,wind\n"  # fold 2 has NO wind clip
+    )
+    p1, y1, c1 = scan_folder(str(tmp_path), str(meta), folds=[1])
+    p2, y2, c2 = scan_folder(str(tmp_path), str(meta), folds=[2])
+    assert len(p1) == 4 and len(p2) == 2
+    # label space identical across splits despite the missing class
+    assert c1 == c2 == ["dog", "rain", "wind"]
+    assert y2.tolist() == [0, 1]
+    both, _, _ = scan_folder(str(tmp_path), str(meta), folds=[1, 2])
+    assert len(both) == 6
+
+    out_tr, out_ev = str(tmp_path / "tr.h5"), str(tmp_path / "ev.h5")
+    n_tr, cls = pack_folder(str(tmp_path), out_tr, clip_seconds=1.0,
+                            labels_csv=str(meta), folds=[1])
+    n_ev, _ = pack_folder(str(tmp_path), out_ev, clip_seconds=1.0,
+                          labels_csv=str(meta), folds=[2])
+    assert (n_tr, n_ev) == (4, 2) and len(cls) == 3
+    _, ytr, _ = hdf5.load_data(out_tr)
+    _, yev, _ = hdf5.load_data(out_ev)
+    assert ytr.shape[1] == yev.shape[1] == 3  # shared label width
+
+    with pytest.raises(ValueError, match="fold"):
+        scan_folder(str(tmp_path), None, folds=[1])
+    meta_nofold = tmp_path / "nofold.csv"
+    meta_nofold.write_text("filename,category\ndog/dog_0.wav,dog\n")
+    with pytest.raises(ValueError, match="fold"):
+        scan_folder(str(tmp_path), str(meta_nofold), folds=[1])
+
+
+def test_prep_cli_folds(tmp_path, capsys):
+    from mla_tpu.__main__ import main
+
+    _make_corpus(tmp_path / "c", per_class=2, classes=("dog", "rain"))
+    meta = tmp_path / "meta.csv"
+    meta.write_text(
+        "filename,fold,category\n"
+        "dog/dog_0.wav,1,dog\ndog/dog_1.wav,2,dog\n"
+        "rain/rain_0.wav,1,rain\nrain/rain_1.wav,2,rain\n"
+    )
+    out = str(tmp_path / "f1.h5")
+    main(["prep", "--config=esc50_single_attention", f"--wav_dir={tmp_path/'c'}",
+          f"--labels_csv={meta}", "--folds=1", f"--out={out}",
+          "--set", "data.clip_seconds=1.0", "model.n_classes=2"])
+    assert "packed 2 clips" in capsys.readouterr().out
