@@ -15,6 +15,9 @@ API (JSON unless noted):
     POST   /v1/streams/<sid>/flush          -> {"flushed": bool}
     GET    /v1/streams/<sid>/scores?top_k=5 -> {"top_k": [[label, p], ...]}
     DELETE /v1/streams/<sid>                -> {"closed": true}
+    POST   /v1/tag?top_k=5                  one-shot: whole clip in (any
+                                            audio format above) -> top-k
+                                            (reference C15 ``inference``)
     GET    /v1/healthz                      -> {"ok": true, ...}
 
     srv = create_server(cfg, variables, port=0)   # port 0 = ephemeral
@@ -128,12 +131,7 @@ class _Handler(BaseHTTPRequestHandler):
         m = _STREAM_RE.match(self.path.split("?")[0])
         if m and m.group(2) == "scores":
             sid = int(m.group(1))
-            top_k = 5
-            if "?" in self.path and "top_k=" in self.path:
-                try:
-                    top_k = int(self.path.split("top_k=")[1].split("&")[0])
-                except ValueError:
-                    pass
+            top_k = self._top_k_param()
             try:
                 with st.lock:
                     scores = st.server.scores(sid)
@@ -145,8 +143,52 @@ class _Handler(BaseHTTPRequestHandler):
             return
         self._error(404, f"no route {self.path}")
 
+    def _top_k_param(self, default: int = 5) -> int:
+        if "?" in self.path and "top_k=" in self.path:
+            try:
+                return int(self.path.split("top_k=")[1].split("&")[0])
+            except ValueError:
+                pass
+        return default
+
     def do_POST(self):
         st = self.state
+        if self.path.split("?")[0] == "/v1/tag":
+            # one-shot convenience (reference C15): whole clip -> top-k,
+            # via a transient slot on the shared batched program (same
+            # compiled chunk step, no per-request compile)
+            try:
+                body = self._read_body()
+            except _BodyTooLarge as e:
+                self._error(413, f"body {e.args[0]} bytes exceeds "
+                                 f"{self.max_body_bytes}; use the stream API")
+                return
+            try:
+                samples = _decode_audio(body, self.headers.get("Content-Type", ""),
+                                        st.cfg.frontend.sample_rate)
+            except ValueError as e:
+                self._error(400, str(e))
+                return
+            with st.lock:
+                try:
+                    sid = st.server.open()
+                except RuntimeError as e:
+                    self._error(503, str(e))
+                    return
+                try:
+                    st.server.feed(sid, samples)
+                    st.server.drain()
+                    st.server.flush(sid)
+                    scores = st.server.scores(sid)
+                except RuntimeError as e:
+                    self._error(422, f"clip unprocessable: {e}")
+                    return
+                finally:
+                    st.server.close(sid)
+            order = np.argsort(-scores)[: self._top_k_param()]
+            self._reply(200, {"top_k": [[st.labels[i], float(scores[i])]
+                                        for i in order]})
+            return
         if self.path == "/v1/streams":
             try:
                 with st.lock:

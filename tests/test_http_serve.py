@@ -211,3 +211,32 @@ def test_error_paths(served):
         _req(base, "POST", f"/v1/streams/{sid}/audio", b"abc")  # not mult of 4
     assert e.value.code == 400
     _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
+def test_one_shot_tag_endpoint(served, tmp_path):
+    """POST /v1/tag: whole clip -> top-k in one call (reference C15's
+    inference as HTTP), matching the stream lifecycle's scores; the
+    transient slot is released afterwards."""
+    cfg, variables, wav, base = served
+    n = _samples_per_patches(cfg.frontend, 6)
+    audio = wav[:n]
+    got = _req(base, "POST", "/v1/tag?top_k=4", audio.tobytes())["top_k"]
+
+    single = StreamingTagger(cfg, variables, chunk_patches=3)
+    single.feed(audio)
+    single.flush()
+    want = dict(single.top_k(4))
+    names = labels_for(cfg.data.dataset, cfg.model.n_classes)
+    for name, p in got:
+        np.testing.assert_allclose(p, want[names.index(name)], rtol=1e-4, atol=1e-5)
+
+    # wav-file bodies work too, and slots are not leaked (3 slots, many calls)
+    from mla_tpu.data import audio_io
+
+    p = tmp_path / "t.wav"
+    audio_io.write_wav(str(p), audio, cfg.frontend.sample_rate)
+    for _ in range(4):
+        r = _req(base, "POST", "/v1/tag", p.read_bytes(), "audio/wav")
+        assert len(r["top_k"]) == 5
+    h = _req(base, "GET", "/v1/healthz")
+    assert h["open_streams"] == 0
