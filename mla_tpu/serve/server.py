@@ -43,7 +43,13 @@ class BatchedStreamingServer:
     """
 
     def __init__(self, cfg: Config, variables: Dict, max_streams: int = 8,
-                 chunk_patches: int = 5, transfer_dtype: str = "float32"):
+                 chunk_patches: int = 5, transfer_dtype: str = "float32",
+                 mesh=None, mesh_axis: str = "data"):
+        """``mesh`` shards the STREAM axis over ``mesh[mesh_axis]`` (T11 at
+        pod scale): per-tick front-end+trunk+logits and the per-stream
+        accumulator states partition across devices with zero cross-device
+        communication (streams are independent); host work is unchanged.
+        max_streams must divide by the axis size."""
         if cfg.model.variant not in STREAMING_VARIANTS:
             raise ValueError(f"streaming needs an attention variant, got {cfg.model.variant!r}")
         if transfer_dtype not in ("float32", "int16", "uint8"):
@@ -78,6 +84,26 @@ class BatchedStreamingServer:
         self._fed = np.zeros(self.S, bool)
         c = cfg.model.n_classes
         self.states = [ap.init_stream_state((self.S, c)) for _ in range(self._n_levels)]
+        self._wav_sh = self._vec_sh = None
+        jit_kwargs = {}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if self.S % mesh.shape[mesh_axis]:
+                raise ValueError(
+                    f"max_streams {self.S} not divisible by mesh "
+                    f"{mesh_axis}={mesh.shape[mesh_axis]}"
+                )
+            row = NamedSharding(mesh, P(mesh_axis, None))
+            self._wav_sh = row
+            self._vec_sh = NamedSharding(mesh, P(mesh_axis))
+            st_sh = [ap.StreamState(num=row, den=row, m=row)
+                     for _ in range(self._n_levels)]
+            self.states = jax.device_put(self.states, st_sh)
+            jit_kwargs = dict(
+                in_shardings=(st_sh, row, self._vec_sh, self._vec_sh),
+                out_shardings=st_sh,
+            )
 
         def batched_step(states, wav, active, n_valid):
             """wav [S, chunk_samples] (f32, or PCM16 dequantized here on
@@ -115,8 +141,15 @@ class BatchedStreamingServer:
                 self.model, self.variables, cfg.model.variant, states
             )
 
-        self._batched_step = jax.jit(batched_step)
+        self._batched_step = jax.jit(batched_step, **jit_kwargs)
         self._finalize = jax.jit(finalize)
+
+    def _put_batch(self, wav, active, n_valid):
+        if self._wav_sh is None:
+            return jnp.asarray(wav), jnp.asarray(active), jnp.asarray(n_valid)
+        return (jax.device_put(wav, self._wav_sh),
+                jax.device_put(active, self._vec_sh),
+                jax.device_put(n_valid, self._vec_sh))
 
     # --- stream lifecycle ---
     def open(self) -> int:
@@ -190,9 +223,8 @@ class BatchedStreamingServer:
                 wav[sid] = self._bufs[sid][: self.chunk_samples]
                 self._bufs[sid] = self._bufs[sid][self.hop_samples :]
         n_valid = np.full(self.S, self.chunk_patches, np.int32)
-        self.states = self._batched_step(
-            self.states, jnp.asarray(wav), jnp.asarray(active), jnp.asarray(n_valid)
-        )
+        self.states = self._batched_step(*(self.states,) + self._put_batch(
+            wav, active, n_valid))
         self._fed |= active
         return int(active.sum())
 
@@ -236,9 +268,8 @@ class BatchedStreamingServer:
         active = np.zeros(self.S, bool)
         active[sid] = True
         n_valid = np.full(self.S, n_valid_sid, np.int32)
-        self.states = self._batched_step(
-            self.states, jnp.asarray(wav), jnp.asarray(active), jnp.asarray(n_valid)
-        )
+        self.states = self._batched_step(*(self.states,) + self._put_batch(
+            wav, active, n_valid))
         self._fed[sid] = True
         self._bufs[sid] = np.zeros(0, self._buf_dtype)
         return True

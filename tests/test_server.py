@@ -223,3 +223,40 @@ def test_closed_then_reopened_slot_state_is_fresh(setup):
     srv.feed(a2, wav[: srv.chunk_samples])
     srv.tick()
     np.testing.assert_allclose(srv.scores(a2), s1, rtol=1e-5)  # same audio -> same scores
+
+
+def test_mesh_sharded_server_matches_unsharded(setup):
+    """T11 at pod scale: the stream axis shards over the ("data",) mesh —
+    per-tick trunk work and the accumulator states partition across
+    devices (streams are independent, zero cross-device traffic) and
+    scores equal the unsharded server's bit-for-bit tolerance."""
+    from mla_tpu.parallel import mesh as pmesh
+
+    cfg, variables, wav = setup
+    mesh = pmesh.make_mesh()  # 8 virtual CPU devices on "data"
+    n = _samples_per_patches(cfg.frontend, 7)
+    streams = [wav[:n], wav[n : 2 * n], (wav[:n] * 0.3).astype(np.float32)]
+
+    plain = BatchedStreamingServer(cfg, variables, max_streams=8, chunk_patches=5)
+    shard = BatchedStreamingServer(cfg, variables, max_streams=8, chunk_patches=5,
+                                   mesh=mesh)
+    for srv in (plain, shard):
+        sids = [srv.open() for _ in streams]
+        for sid, s in zip(sids, streams):
+            srv.feed(sid, s)
+        srv.drain()
+        for sid in sids:
+            srv.flush(sid)
+    for sid in range(len(streams)):
+        np.testing.assert_allclose(shard.scores(sid), plain.scores(sid),
+                                   rtol=1e-5, atol=1e-6)
+    # slot reset keeps the sharded state intact
+    shard.close(0)
+    sid = shard.open()
+    shard.feed(sid, streams[0])
+    shard.drain(); shard.flush(sid)
+    np.testing.assert_allclose(shard.scores(sid), plain.scores(0),
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="divisible"):
+        BatchedStreamingServer(cfg, variables, max_streams=6, chunk_patches=5,
+                               mesh=mesh)
