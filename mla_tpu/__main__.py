@@ -66,6 +66,42 @@ def cmd_configs(_args):
     print("\n".join(list_configs()))
 
 
+def cmd_summary(args):
+    """Per-module parameter table (the reference family's Keras
+    ``model.summary()`` role) — shapes from jax.eval_shape, no device or
+    weight materialization needed."""
+    import jax
+
+    from mla_tpu.models.zoo import build_model, example_input
+    from mla_tpu.train.state import create_train_state
+
+    cfg = _load_cfg(args)
+    model = build_model(cfg.model)
+    st = jax.eval_shape(lambda: create_train_state(cfg, model, example_input(cfg.model)))
+
+    rows = []  # (path, shape, count) per leaf, grouped by top-level module
+    flat = jax.tree_util.tree_flatten_with_path(dict(st.params))[0]
+    for path, leaf in flat:
+        name = "/".join(getattr(k, "key", str(k)) for k in path)
+        rows.append((name, tuple(leaf.shape), int(np.prod(leaf.shape) or 1)))
+    width = max(len(r[0]) for r in rows)
+    groups = {}
+    for name, shape, count in rows:
+        print(f"{name:<{width}}  {str(shape):<20} {count:>12,}")
+        groups[name.split("/")[0]] = groups.get(name.split("/")[0], 0) + count
+    total = sum(c for _, _, c in rows)
+    print("-" * (width + 35))
+    for g, c in sorted(groups.items(), key=lambda kv: -kv[1]):
+        print(f"{g:<{width}}  {'':<20} {c:>12,}  ({100*c/total:.1f}%)")
+    bn = sum(int(np.prod(l.shape) or 1)
+             for _, l in jax.tree_util.tree_flatten_with_path(dict(st.batch_stats))[0])
+    print(f"{'TOTAL params':<{width}}  {'':<20} {total:>12,}")
+    if bn:
+        print(f"{'batch_stats (non-trainable)':<{width}}  {'':<20} {bn:>12,}")
+    print(f"~{(total + bn) * 4 / 1e6:.1f} MB f32; variant={cfg.model.variant} "
+          f"trunk={cfg.model.trunk} classes={cfg.model.n_classes}")
+
+
 def cmd_prep(args):
     """Build the configured (synthetic) dataset and pack it to HDF5 (C1+C2),
     pack real AudioSet TFRecords with --tfrecords=<glob>, or a local wav
@@ -397,6 +433,11 @@ def main(argv=None):
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("configs", help="list named configs").set_defaults(fn=cmd_configs)
+
+    ssum = sub.add_parser("summary", help="per-module parameter table")
+    ssum.add_argument("--config", default="audioset_full_dp")
+    ssum.add_argument("--set", nargs="*")
+    ssum.set_defaults(fn=cmd_summary)
 
     sp = sub.add_parser("prep", help="build + pack dataset to HDF5")
     sp.add_argument("--config", default="default")

@@ -173,3 +173,28 @@ def test_weights_partial_warm_start(tmp_path, capsys):
     # head shapes follow the NEW config (fresh init, 7 classes)
     head_shapes = {tuple(np.shape(l)) for l in jax.tree.leaves(sb.params)}
     assert any(s[-1] == 7 for s in head_shapes if s)
+
+
+def test_summary_verb(capsys):
+    """summary: the reference family's Keras model.summary() role —
+    per-module table with a correct total (shape-only, no weights)."""
+    from mla_tpu.__main__ import main
+
+    main(["summary", "--config=esc50_single_attention",
+          "--set", "model.conv_channels=8,16", "model.hidden_units=32"])
+    out = capsys.readouterr().out
+    assert "TOTAL params" in out and "trunk_module" in out
+    total = int(next(l for l in out.splitlines() if "TOTAL" in l)
+                .split()[-1].replace(",", ""))
+    import jax
+
+    from mla_tpu.config import get_config
+    from mla_tpu.models.zoo import build_model, example_input
+    from mla_tpu.train.state import create_train_state
+
+    cfg = get_config("esc50_single_attention",
+                     {"model.conv_channels": "8,16", "model.hidden_units": "32"})
+    st = jax.eval_shape(lambda: create_train_state(
+        cfg, build_model(cfg.model), example_input(cfg.model)))
+    want = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(dict(st.params)))
+    assert total == want
