@@ -405,6 +405,7 @@ def cmd_serve(args):
     variables = _load_variables(args, cfg)
     srv = create_server(cfg, variables, port=args.port, host=args.host,
                         max_streams=args.max_streams,
+                        chunk_patches=args.chunk_patches,
                         transfer_dtype=args.transfer_dtype)
     host, port = srv.server_address[:2]
     print(f"serving {cfg.model.variant} on http://{host}:{port}/v1 "
@@ -423,7 +424,7 @@ def cmd_export(args):
 
     variables = _load_variables(args, cfg)
     meta = export_forward(cfg, variables, args.out, batch=args.batch,
-                          seconds=args.seconds)
+                          seconds=args.seconds, input_dtype=args.input_dtype)
     print(_jdump({"out": args.out, **meta}))
 
 
@@ -530,6 +531,8 @@ def main(argv=None):
     ss.add_argument("--host", default="127.0.0.1")
     ss.add_argument("--port", type=int, default=8000)
     ss.add_argument("--max_streams", type=int, default=8)
+    ss.add_argument("--chunk_patches", type=int, default=5,
+                    help="patches per device tick (latency vs per-call efficiency)")
     ss.add_argument("--transfer_dtype", default="int16",
                     choices=["int16", "float32", "uint8"],
                     help="wire/device-transfer dtype; int16 halves host->device "
@@ -544,6 +547,10 @@ def main(argv=None):
     sx.add_argument("--out", required=True)
     sx.add_argument("--batch", type=int, default=8)
     sx.add_argument("--seconds", type=float, default=10.0)
+    sx.add_argument("--input_dtype", default="float32",
+                    choices=["float32", "int16", "uint8"],
+                    help="bake the wire format in: int16 PCM or uint8 mu-law "
+                         "inputs are expanded inside the compiled program")
     sx.add_argument("--set", nargs="*")
     sx.set_defaults(fn=cmd_export)
 

@@ -37,10 +37,14 @@ def export_forward(
     batch: int = 8,
     seconds: float = 10.0,
     platforms=("cpu", "tpu"),
+    input_dtype: str = "float32",
 ) -> Dict:
     """Serialize the one-shot forward (waveform [batch, n] -> probs
     [batch, C]) with weights baked in; returns the metadata dict that is
-    also stored in the artifact header."""
+    also stored in the artifact header. ``input_dtype`` bakes the serving
+    wire format into the artifact: "int16" (PCM16) or "uint8" (8-bit
+    mu-law) prepend the device-side expansion, so an edge deployment
+    feeds raw wire bytes straight to the compiled program."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -48,15 +52,23 @@ def export_forward(
     from mla_tpu.models.zoo import build_model
     from mla_tpu.ops import frontend as fe
 
+    if input_dtype not in ("float32", "int16", "uint8"):
+        raise ValueError(f"input_dtype must be float32|int16|uint8, got {input_dtype!r}")
     model = build_model(cfg.model)
     n_samples = int(round(seconds * cfg.frontend.sample_rate))
 
     def forward(wav):
+        if wav.dtype == jnp.int16:
+            wav = wav.astype(jnp.float32) / 32768.0
+        elif wav.dtype == jnp.uint8:
+            from mla_tpu.data.audio_io import mulaw_decode
+
+            wav = mulaw_decode(wav, xp=jnp)
         patches = fe.waveform_to_patches(wav, cfg.frontend)
         return model.apply(variables, patches, train=False).astype(jnp.float32)
 
     exp = jexport.export(jax.jit(forward), platforms=tuple(platforms))(
-        jax.ShapeDtypeStruct((batch, n_samples), jnp.float32)
+        jax.ShapeDtypeStruct((batch, n_samples), jnp.dtype(input_dtype))
     )
     payload = exp.serialize()
     meta = {
@@ -67,6 +79,7 @@ def export_forward(
         "n_classes": cfg.model.n_classes,
         "variant": cfg.model.variant,
         "platforms": list(exp.platforms),
+        "input_dtype": input_dtype,
     }
     header = json.dumps(meta).encode()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
@@ -96,7 +109,7 @@ def load_exported(path: str) -> Callable[[np.ndarray], np.ndarray]:
     def fn(wav: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
-        wav = jnp.asarray(wav, jnp.float32)
+        wav = jnp.asarray(wav, jnp.dtype(meta.get("input_dtype", "float32")))
         want = (meta["batch"], meta["n_samples"])
         if tuple(wav.shape) != want:
             raise ValueError(f"exported program is static-shaped {want}, got {tuple(wav.shape)}")

@@ -71,3 +71,35 @@ def test_export_cli(setup, tmp_path, monkeypatch):
     wav = np.zeros((1, fn.meta["n_samples"]), np.float32)
     probs = fn(wav)
     assert probs.shape == (1, 50) and np.isfinite(probs).all()
+
+
+def test_export_wire_format_inputs(setup, tmp_path):
+    """input_dtype bakes the serving wire format into the artifact: PCM16
+    and mu-law uint8 inputs expand INSIDE the compiled program and track
+    the float32 artifact within quantization tolerance."""
+    from mla_tpu.data.audio_io import mulaw_encode
+
+    cfg, model, variables, wav = setup
+    f32_path = str(tmp_path / "f32.mlax")
+    export_forward(cfg, variables, f32_path, batch=2, seconds=2.0, platforms=("cpu",))
+    want = load_exported(f32_path)(wav)
+
+    p16 = str(tmp_path / "i16.mlax")
+    meta = export_forward(cfg, variables, p16, batch=2, seconds=2.0,
+                          platforms=("cpu",), input_dtype="int16")
+    assert meta["input_dtype"] == "int16"
+    fn16 = load_exported(p16)
+    got16 = fn16(np.asarray(np.clip(wav, -1, 1) * 32767.0, np.int16))
+    np.testing.assert_allclose(got16, want, atol=5e-3)
+
+    pu8 = str(tmp_path / "u8.mlax")
+    export_forward(cfg, variables, pu8, batch=2, seconds=2.0,
+                   platforms=("cpu",), input_dtype="uint8")
+    fnu8 = load_exported(pu8)
+    got8 = fnu8(mulaw_encode(wav))
+    np.testing.assert_allclose(got8, want, atol=5e-2)
+    assert np.argmax(got8, 1).tolist() == np.argmax(want, 1).tolist()
+
+    with pytest.raises(ValueError, match="input_dtype"):
+        export_forward(cfg, variables, str(tmp_path / "x.mlax"),
+                       platforms=("cpu",), input_dtype="int8")
