@@ -534,9 +534,10 @@ def main(argv=None):
     ss.add_argument("--chunk_patches", type=int, default=5,
                     help="patches per device tick (latency vs per-call efficiency)")
     ss.add_argument("--transfer_dtype", default="int16",
-                    choices=["int16", "float32", "uint8"],
+                    choices=["int16", "float32", "uint8", "adpcm4"],
                     help="wire/device-transfer dtype; int16 halves host->device "
-                         "bytes, uint8 (8-bit mu-law) quarters them")
+                         "bytes, uint8 (8-bit mu-law) quarters them, adpcm4 "
+                         "(4-bit block ADPCM, decoded on device) is ~1/8 of f32")
     ss.add_argument("--set", nargs="*")
     ss.set_defaults(fn=cmd_serve)
 

@@ -66,6 +66,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.mulaw_decode.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.POINTER(ctypes.c_float)
     ]
+    lib.adpcm4_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -144,6 +149,29 @@ def mulaw_decode(q: np.ndarray) -> np.ndarray:
     lib.mulaw_decode(q.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(q),
                      out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def adpcm4_encode(x: np.ndarray, block: int):
+    """int16 [rows, n] (n a multiple of block) -> (packed uint8 [rows, n/2],
+    pred0 int16 [rows, n/block], index0 uint8 [rows, n/block]). Bit-exact
+    twin of data.adpcm's numpy encoder (that module is the spec)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native audio_ingest unavailable")
+    x = np.ascontiguousarray(x, np.int16)
+    rows, n = x.shape
+    if n % block:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    packed = np.zeros((rows, n // 2), np.uint8)
+    pred0 = np.empty((rows, n // block), np.int16)
+    index0 = np.empty((rows, n // block), np.uint8)
+    lib.adpcm4_encode(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), rows, n, block,
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        pred0.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        index0.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return packed, pred0, index0
 
 
 class NativeRingBuffer:

@@ -264,7 +264,9 @@ def create_server(
     quantization the scores don't notice. "uint8" ships 8-bit mu-law
     (quarter of f32, ~38 dB SNR) and expands on device — for severely
     transfer-bound hosts; pair with clients POSTing audio/basic so the
-    wire and device formats match end-to-end."""
+    wire and device formats match end-to-end. "adpcm4" re-encodes each
+    tick as 4-bit block ADPCM (~1/8 of f32, ~24-31 dB SNR) and decodes
+    inside the device program — the most transfer-starved option."""
     state = _TaggerState(cfg, variables, max_streams, chunk_patches, transfer_dtype)
     handler = type("Handler", (_Handler,), {"state": state})
     return ThreadingHTTPServer((host, port), handler)

@@ -218,6 +218,76 @@ void mulaw_decode(const uint8_t* in, long n, float* out) {
   }
 }
 
+// ---------- 4-bit block-independent IMA ADPCM encoder ----------
+// The serving wire codec (mla_tpu/data/adpcm.py is the spec and the
+// bit-exact numpy twin; the device decodes inside the jitted chunk
+// program). Blocks reset encoder state (pred = first sample, step index
+// from the integer mean |first difference|) so encode parallelizes across
+// blocks and decode parallelizes on the TPU.
+
+namespace {
+
+const int32_t kAdpcmStep[89] = {
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767};
+
+const int32_t kAdpcmIndex[8] = {-1, -1, -1, -1, 2, 4, 6, 8};
+
+}  // namespace
+
+// x: [rows, n] int16 with n a multiple of block. Outputs: packed nibbles
+// [rows, n/2] (low nibble = even sample), pred0 int16 [rows, n/block],
+// index0 uint8 [rows, n/block]. Bit-identical to adpcm.adpcm4_encode.
+void adpcm4_encode(const int16_t* x, long rows, long n, long block,
+                   uint8_t* packed, int16_t* pred0, uint8_t* index0) {
+  const long n_blocks = n / block;
+  for (long r = 0; r < rows; ++r) {
+    const int16_t* row = x + r * n;
+    uint8_t* prow = packed + r * (n / 2);
+    for (long blk = 0; blk < n_blocks; ++blk) {
+      const int16_t* b = row + blk * block;
+      long sum = 0;
+      for (long i = 1; i < block; ++i)
+        sum += std::labs(static_cast<long>(b[i]) - b[i - 1]);
+      const int32_t mean =
+          block > 1 ? static_cast<int32_t>(sum / (block - 1)) : 0;
+      int32_t index = 0;
+      while (index < 88 && kAdpcmStep[index] < mean) ++index;
+      int32_t pred = b[0];
+      pred0[r * n_blocks + blk] = static_cast<int16_t>(pred);
+      index0[r * n_blocks + blk] = static_cast<uint8_t>(index);
+      for (long i = 0; i < block; ++i) {
+        const int32_t step = kAdpcmStep[index];
+        int32_t diff = b[i] - pred;
+        const int32_t sign = diff < 0;
+        int32_t mag = sign ? -diff : diff;
+        const int32_t n3 = mag >= step;
+        mag -= n3 * step;
+        const int32_t h = step >> 1;
+        const int32_t n2 = mag >= h;
+        mag -= n2 * h;
+        const int32_t q = step >> 2;
+        const int32_t n1 = mag >= q;
+        const int32_t code = (sign << 3) | (n3 << 2) | (n2 << 1) | n1;
+        const int32_t delta = (step >> 3) + n3 * step + n2 * h + n1 * q;
+        pred += sign ? -delta : delta;
+        pred = std::max(-32768, std::min(32767, pred));
+        index = std::max(0, std::min(88, index + kAdpcmIndex[code & 7]));
+        const long pos = blk * block + i;
+        if (pos & 1)
+          prow[pos >> 1] |= static_cast<uint8_t>(code << 4);
+        else
+          prow[pos >> 1] = static_cast<uint8_t>(code);
+      }
+    }
+  }
+}
+
 // ---------- Streaming ring buffer ----------
 
 struct RingBuffer {

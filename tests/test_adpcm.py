@@ -1,0 +1,145 @@
+"""4-bit block ADPCM wire codec (data/adpcm.py): reconstruction quality,
+numpy<->jnp decode bit-parity, C++<->numpy encode bit-parity, and the
+serving integration (transfer_dtype="adpcm4" scores vs float32).
+
+The codec is serving infrastructure with no reference counterpart (the
+reference's C15 is a one-shot script — SURVEY.md §2.1); the contract is
+self-consistency plus score stability against the uncompressed path.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mla_tpu.data import adpcm
+
+
+def _program(seconds=2.0, sr=16000, seed=0):
+    """Mixed tones + noise, the same kind of material the serving bench
+    uses — exercises both large and small sample-to-sample diffs."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    x = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 2818 * t)
+         + 0.05 * rng.standard_normal(t.size))
+    return np.clip(x, -1, 1).astype(np.float32)
+
+
+def _snr_db(x, y):
+    return 10 * np.log10(np.mean(x ** 2) / np.mean((x - y) ** 2))
+
+
+def test_roundtrip_snr():
+    x = _program()
+    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
+    y = adpcm.adpcm4_decode(packed, pred0, idx0, n=x.size)
+    assert y.shape == x.shape and y.dtype == np.float32
+    assert _snr_db(x, y) > 20.0  # 4-bit ADPCM lands ~24 dB on this program
+
+
+def test_wire_is_half_of_mulaw():
+    x = _program(seconds=1.0)
+    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
+    wire = packed.nbytes + pred0.nbytes + idx0.nbytes
+    assert wire < 0.55 * x.size  # mu-law is 1 byte/sample
+
+
+def test_numpy_jnp_decode_bit_identical():
+    x = _program(seconds=0.5)
+    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
+    y_np = adpcm.adpcm4_decode(packed, pred0, idx0, n=x.size)
+    y_jnp = np.asarray(adpcm.adpcm4_decode(packed, pred0, idx0, n=x.size,
+                                           xp=jnp))
+    assert np.array_equal(y_np, y_jnp)
+
+
+def test_cpp_numpy_encoders_bit_identical():
+    from mla_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    x = _program(seconds=0.7, seed=3)
+    got = adpcm.adpcm4_encode(x)  # routes to C++
+    native._LIB = False  # force the numpy path
+    try:
+        want = adpcm.adpcm4_encode(x)
+    finally:
+        native._LIB = None
+    for g, w in zip(got, want):
+        assert np.array_equal(g, w)
+
+
+def test_batched_rows_and_padding():
+    x = np.stack([_program(0.33, seed=1), -_program(0.33, seed=2)])
+    assert x.shape[-1] % adpcm.DEFAULT_BLOCK  # exercises edge padding
+    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
+    y = adpcm.adpcm4_decode(packed, pred0, idx0, n=x.shape[-1])
+    assert y.shape == x.shape
+    assert _snr_db(x, y) > 20.0
+
+
+def test_int16_input_matches_float_input():
+    x = _program(seconds=0.4)
+    xi = np.asarray(np.clip(x, -1, 1) * 32767.0, np.int16)
+    a = adpcm.adpcm4_encode(x)
+    b = adpcm.adpcm4_encode(xi)
+    for u, v in zip(a, b):
+        assert np.array_equal(u, v)
+
+
+def test_silence_is_exact():
+    x = np.zeros(1024, np.float32)
+    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
+    y = adpcm.adpcm4_decode(packed, pred0, idx0, n=x.size)
+    # pred starts at 0; each step moves by at most step>>3 of the minimum
+    # step (7>>3 = 0) — silence reconstructs to exactly 0
+    assert np.all(y == 0.0)
+
+
+def test_server_adpcm4_matches_float32_scores():
+    """transfer_dtype='adpcm4' end-to-end: scores close to the float32
+    path, identical top-1 — the serving contract for every wire format.
+    Exercises tick (full chunks) AND flush (sub-chunk tail) through the
+    on-device decode."""
+    import jax
+
+    from mla_tpu.config import Config, ModelConfig
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops.frontend import waveform_to_patches
+    from mla_tpu.serve.server import BatchedStreamingServer
+
+    cfg = Config(
+        name="adpcm_test",
+        model=ModelConfig(variant="multi_level_attention", trunk="cnn",
+                          n_classes=7, n_blocks=2, hidden_units=32,
+                          conv_channels=(8, 16), convs_per_stage=1,
+                          compute_dtype="float32"),
+    )
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(0)
+    probe = waveform_to_patches(
+        jnp.asarray(rng.standard_normal(16000 * 2, ).astype(np.float32))[None],
+        cfg.frontend)
+    variables = model.init(jax.random.key(0), probe)
+
+    chunk = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                   chunk_patches=2).chunk_samples
+    n = 2 * chunk + chunk // 3  # two ticks + a flush tail
+    t = np.arange(n) / cfg.frontend.sample_rate
+    x = np.clip(0.4 * np.sin(2 * np.pi * 440 * t)
+                + 0.1 * rng.standard_normal(n), -1, 1).astype(np.float32)
+
+    def run(td):
+        srv = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                     chunk_patches=2, transfer_dtype=td)
+        sid = srv.open()
+        srv.feed(sid, x)
+        srv.drain()
+        srv.flush(sid)
+        return srv.scores(sid)
+
+    ref = run("float32")
+    got = run("adpcm4")
+    assert int(np.argmax(ref)) == int(np.argmax(got))
+    assert np.max(np.abs(ref - got)) < 0.05
