@@ -1,7 +1,7 @@
 """4-bit block-independent IMA ADPCM wire codec for serving (T11).
 
 Why: serving on a transfer-bound host is limited by host->device bytes
-(measured ~20 MB/s on this tunnel; docs/RESULTS.md). The wire-format
+(measured ~20-50 MB/s on this tunnel; docs/RESULTS.md). The wire-format
 ladder so far: f32 -> PCM16 (2x) -> 8-bit mu-law (4x). ADPCM at 4 bits/
 sample is the next rung (8x vs f32, ~2x vs mu-law) and is the classic
 fixed-rate speech/audio codec — no codec libraries exist in this image,
@@ -11,25 +11,37 @@ no serving tier at all; its C15 is a one-shot script — SURVEY.md §2.1).
 Design for TPU decode (the part that must run INSIDE the jitted chunk
 program so bytes travel host->HBM still compressed):
 
-- Blocks of ``block`` samples are coded INDEPENDENTLY: each block header
-  stores the encoder's start state (pred0 int16, index0 uint8). Decode is
+- Blocks of ``block`` samples are coded INDEPENDENTLY: each block stores
+  the encoder's start state (pred0 int16, index0 uint8). Decode is
   therefore embarrassingly parallel across blocks — a ``lax.scan`` of
   length ``block`` over a [rows*n_blocks] lane vector, pure VPU integer
-  ops, no cross-block sequential chain. (A continuous-state ADPCM stream
-  would force a scan over the WHOLE chunk — thousands of sequential
-  steps; block independence is what makes the codec TPU-shaped.)
+  ops. (A continuous-state ADPCM stream would force a scan over the WHOLE
+  chunk; block independence is what makes the codec TPU-shaped.) The
+  per-sample step-table lookup is a one-hot matmul, not a gather —
+  measured 4.3x faster on this chip (gathers cost ~9 ns/sample).
 - The encoder also resets at block boundaries (predictor = the block's
   first sample, step index = a deterministic integer heuristic from the
-  block's mean |first-difference|), so the numpy and C++ encoders are
-  trivially vectorizable/parallel and bit-identical.
+  block's mean |first difference|), so the numpy and C++ encoders are
+  trivially vectorizable/parallelizable and bit-identical.
 - All state arithmetic is exact int32; encoder and decoder share the same
   reconstruction-feedback step, so host numpy, device jnp, and native C++
-  reconstruct bit-identically.
+  (data.native, threaded across rows) reconstruct bit-identically.
+- The wire is ONE uint8 buffer per row — on this tunnel host, uploading
+  two extra tiny header arrays per tick measured ~180x slower than one
+  combined buffer (small-transfer latency dominates). The layout is
+  BLOCK-INTERLEAVED: each block is a self-contained ``block/2 + 3`` byte
+  unit ``[nibbles block/2 | pred0 int16-LE | index0]``, so a stream of
+  blocks can be sliced/concatenated at any block boundary — that is what
+  lets the serving tier buffer streams IN WIRE FORM (the client encodes,
+  the host just routes bytes, the device decodes; measured 74 ms/tick of
+  host encode at 32 streams on this 1-core host made tick-time encoding
+  a non-starter).
 
 Wire cost per sample: 4 bits + 24/block header bits (block=256 default
-=> 4.09 bits/sample, 1.95x smaller than mu-law). Measured SNR on mixed
-tone+noise program material: ~31 dB (mu-law ~38 dB); tagging scores are
-tested to stay top-1 stable vs the float32 path (tests/test_adpcm.py).
+=> 0.512 bytes/sample; mu-law is 1.0). Measured SNR: ~24 dB on tonal
+program material, ~14 dB on white noise (mu-law ~38 dB) — the
+most-transfer-starved option; tagging top-1 is tested to stay stable vs
+the float32 path (tests/test_adpcm.py).
 """
 
 from __future__ import annotations
@@ -52,18 +64,37 @@ STEP_TABLE = np.array([
 INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
 
 DEFAULT_BLOCK = 256
+# Serving uses a smaller block so stream chunk/hop boundaries (multiples
+# of the front-end hop, 160*even = 320k samples) land on whole blocks —
+# the wire can then be sliced per tick with zero re-coding. 3 header
+# bytes / 64 samples = 0.547 bytes/sample (vs 0.512 at block 256).
+SERVE_BLOCK = 64
+
+
+def wire_block_bytes(block: int = DEFAULT_BLOCK) -> int:
+    """Bytes per self-contained wire block (block/2 nibbles + 3 header)."""
+    return block // 2 + 3
+
+
+def wire_length(n: int, block: int = DEFAULT_BLOCK) -> int:
+    """Wire bytes per row for n samples (nibbles + per-block headers)."""
+    return (-(-n // block)) * wire_block_bytes(block)
+
+
+def wire_bytes_per_sample(block: int = DEFAULT_BLOCK) -> float:
+    """Wire cost per sample (0.512 at block=256; mu-law is 1.0)."""
+    return 0.5 + 3.0 / block
 
 
 def _as_int16_rows(x: np.ndarray) -> Tuple[np.ndarray, Tuple[int, ...]]:
-    """[..., n] float [-1,1] or int16 -> ([rows, n] int32 in int16 range,
-    leading shape)."""
+    """[..., n] float [-1,1] or int16 -> ([rows, n] int16, leading shape)."""
     x = np.asarray(x)
     lead = x.shape[:-1]
     x = x.reshape(-1, x.shape[-1])
     if x.dtype != np.int16:
         x = np.asarray(np.clip(x.astype(np.float64), -1.0, 1.0) * 32767.0,
                        np.int16)
-    return x.astype(np.int32), lead
+    return x, lead
 
 
 def _pad_blocks(x: np.ndarray, block: int) -> np.ndarray:
@@ -87,35 +118,26 @@ def _init_index(blocks: np.ndarray) -> np.ndarray:
     return np.searchsorted(STEP_TABLE, mean_diff).clip(0, 88).astype(np.int32)
 
 
-def adpcm4_encode(
-    x: np.ndarray, block: int = DEFAULT_BLOCK
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Encode int16 PCM (or float [-1,1]) [..., n] -> 4-bit ADPCM.
+def adpcm4_encode(x: np.ndarray, block: int = DEFAULT_BLOCK) -> np.ndarray:
+    """Encode int16 PCM (or float [-1,1]) [..., n] -> one uint8 wire
+    buffer [..., wire_length(n, block)] (layout in the module docstring).
 
-    Returns ``(packed, pred0, index0)``: packed nibbles uint8
-    [..., ceil(n/block)*block//2] (low nibble = even sample), per-block
-    predictor seeds int16 [..., n_blocks], per-block step indices uint8
-    [..., n_blocks]. Uses the native C++ encoder when built (bit-identical
-    to this numpy path); the numpy path vectorizes across all rows*blocks
-    and loops only over the ``block`` axis.
+    Uses the native C++ encoder when built (threaded across rows,
+    bit-identical to this numpy path); the numpy path vectorizes across
+    all rows*blocks and loops only over the ``block`` axis.
     """
     xi, lead = _as_int16_rows(x)
-    n = xi.shape[-1]
     xi = _pad_blocks(xi, block)
-    rows = xi.shape[0]
-    n_blocks = xi.shape[1] // block
+    rows, n_pad = xi.shape
+    n_blocks = n_pad // block
 
     from mla_tpu.data import native
 
     if native.available():
-        packed, pred0, index0 = native.adpcm4_encode(
-            xi.astype(np.int16).reshape(rows, -1), block
-        )
-        return (packed.reshape(lead + (-1,)), pred0.reshape(lead + (-1,)),
-                index0.reshape(lead + (-1,)))
+        return native.adpcm4_encode(xi, block).reshape(lead + (-1,))
 
-    blocks = xi.reshape(rows * n_blocks, block)  # [L, B]
-    pred = blocks[:, 0].copy()  # int32, exact first sample
+    blocks = xi.astype(np.int32).reshape(rows * n_blocks, block)  # [L, B]
+    pred = blocks[:, 0].copy()
     index = _init_index(blocks)
     pred0 = pred.astype(np.int16)
     index0 = index.astype(np.uint8)
@@ -138,23 +160,39 @@ def adpcm4_encode(
         delta = (step >> 3) + n3 * step + n2 * h + n1 * q
         pred = np.clip(pred + np.where(sign, -delta, delta), -32768, 32767)
         index = np.clip(index + INDEX_TABLE[code & 7], 0, 88)
+    # block-interleaved wire: per block [nibbles block/2 | pred lo,hi | idx]
     packed = (nibbles[:, 0::2] | (nibbles[:, 1::2] << 4)).astype(np.uint8)
-    return (
-        packed.reshape(lead + (-1,)),
-        pred0.reshape(lead + (-1,)),
-        index0.reshape(lead + (-1,)),
-    )
+    wire = np.concatenate(
+        [packed.reshape(rows * n_blocks, block // 2),
+         pred0.view(np.uint8).reshape(rows * n_blocks, 2),
+         index0.reshape(rows * n_blocks, 1)],
+        axis=1)
+    return wire.reshape(lead + (-1,))
+
+
+def _split_wire(wire, n_pad: int, block: int):
+    """wire [R, W] -> (packed [R, n_pad/2], pred0 int32 [R, nb],
+    index0 [R, nb]); works for numpy and jnp (int16 rebuilt from LE byte
+    pairs with explicit sign handling, so no bitcast is needed). Wire is
+    block-interleaved: [R, nb, block/2 + 3] units."""
+    nb = n_pad // block
+    u = wire.reshape(wire.shape[0], nb, block // 2 + 3)
+    packed = u[:, :, :block // 2].reshape(wire.shape[0], n_pad // 2)
+    lo = u[:, :, block // 2].astype("int32")
+    hi = u[:, :, block // 2 + 1].astype("int32")
+    pred0 = lo + (hi << 8)
+    pred0 = pred0 - (pred0 >= 32768) * 65536  # sign of the int16 LE pair
+    index0 = u[:, :, block // 2 + 2]
+    return packed, pred0, index0
 
 
 def adpcm4_decode(
-    packed: np.ndarray,
-    pred0: np.ndarray,
-    index0: np.ndarray,
+    wire: np.ndarray,
     n: Optional[int] = None,
     block: int = DEFAULT_BLOCK,
     xp=np,
 ):
-    """packed/pred0/index0 [..., *] -> float32 waveform [..., n] in [-1,1].
+    """Wire buffer [..., W] -> float32 waveform [..., n] in [-1,1].
 
     ``xp`` selects the array module: numpy on host, jax.numpy inside the
     serving tier's jitted chunk program — one algorithm for both sides of
@@ -163,9 +201,15 @@ def adpcm4_decode(
     Reconstruction is bit-identical between xp=np and xp=jnp (exact int32
     math). ``n`` slices off block padding (default: all decoded samples).
     """
+    w = wire.shape[-1]
+    # W = n_pad/2 + 3*n_pad/block  =>  n_pad = W * 2*block / (block + 6)
+    n_pad = (w * 2 * block) // (block + 6)
+    if wire_length(n_pad, block) != w or (n is not None and n > n_pad):
+        raise ValueError(f"wire width {w} is not a whole number of "
+                         f"block={block} groups (or n={n} too large)")
     if xp is np:
-        return _decode_np(packed, pred0, index0, n, block)
-    return _decode_jnp(packed, pred0, index0, n, block)
+        return _decode_np(wire, n, n_pad, block)
+    return _decode_jnp(wire, n, n_pad, block)
 
 
 def _unpack(packed, xp):
@@ -174,15 +218,17 @@ def _unpack(packed, xp):
     return xp.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (-1,))
 
 
-def _decode_np(packed, pred0, index0, n, block):
-    packed = np.asarray(packed, np.uint8)
-    lead = packed.shape[:-1]
-    nib = _unpack(packed.reshape(-1, packed.shape[-1]).astype(np.int32), np)
+def _decode_np(wire, n, n_pad, block):
+    wire = np.asarray(wire, np.uint8)
+    lead = wire.shape[:-1]
+    wire = wire.reshape(-1, wire.shape[-1])
+    packed, pred, index = _split_wire(wire, n_pad, block)
+    nib = _unpack(packed.astype(np.int32), np)
     l_rows = nib.shape[0]
-    n_blocks = nib.shape[1] // block
+    n_blocks = n_pad // block
     nib = nib.reshape(l_rows * n_blocks, block)
-    pred = np.asarray(pred0, np.int16).reshape(-1).astype(np.int32)
-    index = np.asarray(index0, np.uint8).reshape(-1).astype(np.int32)
+    pred = pred.astype(np.int32).reshape(-1)
+    index = index.astype(np.int32).reshape(-1)
     out = np.empty((nib.shape[0], block), np.int32)
     for i in range(block):
         code = nib[:, i]
@@ -192,46 +238,51 @@ def _decode_np(packed, pred0, index0, n, block):
         pred = np.clip(pred + np.where(code & 8, -delta, delta), -32768, 32767)
         index = np.clip(index + INDEX_TABLE[code & 7], 0, 88)
         out[:, i] = pred
-    out = out.reshape(l_rows, n_blocks * block)
+    out = out.reshape(l_rows, n_pad)
     if n is not None:
         out = out[:, :n]
     return (out.astype(np.float32) / 32768.0).reshape(lead + (out.shape[-1],))
 
 
-def _decode_jnp(packed, pred0, index0, n, block):
+def _decode_jnp(wire, n, n_pad, block):
     import jax.numpy as jnp
     from jax import lax
 
-    step_t = jnp.asarray(STEP_TABLE)
-    index_t = jnp.asarray(INDEX_TABLE)
-    packed = jnp.asarray(packed).astype(jnp.uint8)
-    lead = packed.shape[:-1]
-    nib = _unpack(packed.reshape(-1, packed.shape[-1]).astype(jnp.int32), jnp)
+    # TPU lowering note (measured on-chip): a per-sample jnp.take into the
+    # 89-entry step table costs ~9 ns/sample as an XLA gather — 11.6 ms on
+    # a serving tick, eating the codec's transfer win. A one-hot matmul is
+    # the TPU-shaped lookup (compare + dot, exact: table values < 2^15 are
+    # f32-representable); the 8-entry index table has a closed form
+    # (m<4 -> -1, else 2m-6) and needs no lookup at all.
+    step_f = jnp.asarray(STEP_TABLE, jnp.float32)
+    iota89 = jnp.arange(89, dtype=jnp.int32)
+    wire = jnp.asarray(wire).astype(jnp.uint8)
+    lead = wire.shape[:-1]
+    wire = wire.reshape(-1, wire.shape[-1])
+    packed, pred, index = _split_wire(wire, n_pad, block)
+    nib = _unpack(packed.astype(jnp.int32), jnp)
     l_rows = nib.shape[0]
-    n_blocks = nib.shape[1] // block
+    n_blocks = n_pad // block
     nib = nib.reshape(l_rows * n_blocks, block)
-    pred = jnp.asarray(pred0).astype(jnp.int32).reshape(-1)
-    index = jnp.asarray(index0).astype(jnp.int32).reshape(-1)
+    pred = pred.astype(jnp.int32).reshape(-1)
+    index = index.astype(jnp.int32).reshape(-1)
 
     def step_fn(carry, code):
         pred, index = carry
-        step = jnp.take(step_t, index)
+        one_hot = (index[:, None] == iota89[None, :]).astype(jnp.float32)
+        step = (one_hot @ step_f).astype(jnp.int32)
         delta = (step >> 3) + ((code >> 2) & 1) * step \
             + ((code >> 1) & 1) * (step >> 1) + (code & 1) * (step >> 2)
         pred = jnp.clip(pred + jnp.where(code & 8, -delta, delta),
                         -32768, 32767)
-        index = jnp.clip(index + jnp.take(index_t, code & 7), 0, 88)
+        m = code & 7
+        index = jnp.clip(index + jnp.where(m < 4, -1, 2 * m - 6), 0, 88)
         return (pred, index), pred
 
     _, ys = lax.scan(step_fn, (pred, index), nib.T)  # ys: [block, L]
-    out = ys.T.reshape(l_rows, n_blocks * block)
+    out = ys.T.reshape(l_rows, n_pad)
     if n is not None:
         out = out[:, :n]
     return (out.astype(jnp.float32) / 32768.0).reshape(
         lead + (out.shape[-1],)
     )
-
-
-def wire_bytes_per_sample(block: int = DEFAULT_BLOCK) -> float:
-    """Wire cost including headers (0.512 at block=256; mu-law is 1.0)."""
-    return 0.5 + 3.0 / block

@@ -31,7 +31,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         try:
             subprocess.run(
                 ["g++", "-O3", "-std=c++17", "-fPIC", "-march=native", "-shared",
-                 src, "-o", so_path],
+                 "-pthread", src, "-o", so_path],
                 check=True, capture_output=True, timeout=120,
             )
         except (subprocess.SubprocessError, FileNotFoundError):
@@ -69,7 +69,6 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.adpcm4_encode.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long, ctypes.c_long,
         ctypes.c_long, ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
     ]
     return lib
 
@@ -151,10 +150,11 @@ def mulaw_decode(q: np.ndarray) -> np.ndarray:
     return out
 
 
-def adpcm4_encode(x: np.ndarray, block: int):
-    """int16 [rows, n] (n a multiple of block) -> (packed uint8 [rows, n/2],
-    pred0 int16 [rows, n/block], index0 uint8 [rows, n/block]). Bit-exact
-    twin of data.adpcm's numpy encoder (that module is the spec)."""
+def adpcm4_encode(x: np.ndarray, block: int) -> np.ndarray:
+    """int16 [rows, n] (n a multiple of block) -> block-interleaved wire
+    uint8 [rows, (n/block)*(block/2+3)]. Bit-exact twin of data.adpcm's
+    numpy encoder (that module is the spec); rows encode on parallel
+    threads when the host has cores."""
     lib = _lib()
     if lib is None:
         raise RuntimeError("native audio_ingest unavailable")
@@ -162,16 +162,12 @@ def adpcm4_encode(x: np.ndarray, block: int):
     rows, n = x.shape
     if n % block:
         raise ValueError(f"n={n} must be a multiple of block={block}")
-    packed = np.zeros((rows, n // 2), np.uint8)
-    pred0 = np.empty((rows, n // block), np.int16)
-    index0 = np.empty((rows, n // block), np.uint8)
+    wire = np.zeros((rows, n // 2 + 3 * (n // block)), np.uint8)
     lib.adpcm4_encode(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), rows, n, block,
-        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        pred0.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        index0.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        wire.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
-    return packed, pred0, index0
+    return wire
 
 
 class NativeRingBuffer:

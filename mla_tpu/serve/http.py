@@ -50,8 +50,10 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
     """Request body -> samples. Accepts a WAV file (audio/wav or RIFF
     magic), raw little-endian int16 PCM (Content-Type audio/L16 —
     int16 wire format, half the bytes of f32), 8-bit mu-law (Content-Type
-    audio/basic, G.711-style mu=255 — quarter of f32), or raw
-    little-endian float32 PCM (anything else)."""
+    audio/basic, G.711-style mu=255 — quarter of f32), 4-bit block ADPCM
+    wire (Content-Type audio/adpcm4 — eighth of f32, decoded on device
+    when the server runs transfer_dtype="adpcm4"), or raw little-endian
+    float32 PCM (anything else)."""
     # explicit Content-Types take precedence over magic sniffing: mu-law
     # bytes are dense in [0,255], so a chunk CAN legitimately start with
     # b"RIFF" — only sniff when the client didn't declare a raw format
@@ -63,6 +65,8 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
         # uint8 arrays are mu-law codes by server convention; with
         # transfer_dtype="uint8" the bytes go to HBM still compressed
         return np.frombuffer(body, dtype=np.uint8)
+    if content_type.startswith("audio/adpcm4"):
+        return np.frombuffer(body, dtype=np.uint8)  # wire blocks
     if content_type.startswith("audio/wav") or body[:4] == b"RIFF":
         from mla_tpu.data import audio_io
 
@@ -76,6 +80,29 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
             "send Content-Type: audio/L16 for int16 PCM"
         )
     return np.frombuffer(body, dtype="<f4").astype(np.float32)
+
+
+def _feed(st: "_TaggerState", sid: int, samples: np.ndarray,
+          content_type: str):
+    """Route decoded body samples into the server, reconciling the two
+    uint8 body meanings (mu-law codes vs adpcm4 wire blocks) against the
+    server's own wire format."""
+    is_adpcm_body = content_type.startswith("audio/adpcm4")
+    if st.server.transfer_dtype == "adpcm4":
+        if is_adpcm_body:
+            st.server.feed(sid, samples, wire=True)
+            return
+        if samples.dtype == np.uint8:  # audio/basic: expand mu-law on host
+            from mla_tpu.data.audio_io import mulaw_decode
+
+            samples = mulaw_decode(samples)
+        st.server.feed(sid, samples, wire=False)
+        return
+    if is_adpcm_body:  # adpcm4 body to a non-adpcm server: decode on host
+        from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm4_decode
+
+        samples = adpcm4_decode(samples, block=SERVE_BLOCK)
+    st.server.feed(sid, samples)
 
 
 class _TaggerState:
@@ -176,12 +203,16 @@ class _Handler(BaseHTTPRequestHandler):
                     self._error(503, str(e))
                     return
                 try:
-                    st.server.feed(sid, samples)
+                    _feed(st, sid, samples,
+                          self.headers.get("Content-Type", ""))
                     st.server.drain()
                     st.server.flush(sid)
                     scores = st.server.scores(sid)
                 except RuntimeError as e:
                     self._error(422, f"clip unprocessable: {e}")
+                    return
+                except ValueError as e:  # malformed wire body
+                    self._error(400, str(e))
                     return
                 finally:
                     st.server.close(sid)
@@ -215,10 +246,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             try:
                 with st.lock:
-                    st.server.feed(sid, samples)
+                    _feed(st, sid, samples,
+                          self.headers.get("Content-Type", ""))
                     advanced = st.server.drain()
             except KeyError as e:
                 self._error(404, str(e))
+                return
+            except ValueError as e:  # malformed wire body
+                self._error(400, str(e))
                 return
             self._reply(200, {"fed_samples": int(len(samples)), "advanced": advanced})
             return

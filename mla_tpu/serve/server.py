@@ -64,13 +64,17 @@ class BatchedStreamingServer:
         # "uint8": 8-bit mu-law (G.711-style) — quarter of f32, expanded on
         # device; ~38 dB SNR, fine for tagging (tested vs float32 scores).
         # "adpcm4": 4-bit block IMA ADPCM (data/adpcm.py) — eighth of f32;
-        # buffered as int16, encoded per tick (native C++ when built) and
-        # decoded INSIDE the jitted chunk program, so the tick upload is
-        # ~0.51 bytes/sample; ~24-31 dB SNR, top-1 stable (tested).
+        # streams are buffered IN WIRE FORM (block-interleaved 64-sample
+        # units) and decoded INSIDE the jitted chunk program, so the host
+        # never touches samples: clients send pre-encoded wire blocks
+        # (HTTP audio/adpcm4) and a tick is pure byte slicing + one
+        # ~0.55 byte/sample upload. Float/int16 feeds are encoded
+        # incrementally at feed time. ~24 dB SNR on tonal material,
+        # top-1 stable vs f32 (tested).
         self.transfer_dtype = transfer_dtype
         self._buf_dtype = {
             "float32": np.float32, "int16": np.int16, "uint8": np.uint8,
-            "adpcm4": np.int16,
+            "adpcm4": np.uint8,
         }[transfer_dtype]
         # silence in wire units: mu-law code 0 is FULL-SCALE -1.0, not zero —
         # pad with the code for 0.0 (=128) or a flushed sub-patch tail would
@@ -86,6 +90,29 @@ class BatchedStreamingServer:
             cfg.frontend.example_hop_frames * cfg.frontend.hop_length * chunk_patches
         )
         self._n_levels = n_stream_levels(cfg.model)
+        self._adpcm = None
+        if transfer_dtype == "adpcm4":
+            from mla_tpu.data import adpcm as _ad
+
+            blk = _ad.SERVE_BLOCK
+            if self.chunk_samples % blk or self.hop_samples % blk:
+                raise ValueError(
+                    f"adpcm4 needs chunk/hop sample counts divisible by "
+                    f"{blk} (chunk={self.chunk_samples}, "
+                    f"hop={self.hop_samples}); use transfer_dtype='int16' "
+                    "for this front-end geometry")
+            wb = _ad.wire_block_bytes(blk)
+            self._adpcm = {
+                "block": blk, "wb": wb,
+                "chunk_wire": self.chunk_samples // blk * wb,
+                "hop_wire": self.hop_samples // blk * wb,
+                # a silence block decodes to exact zeros (min step >> 3 == 0)
+                "silence": _ad.adpcm4_encode(np.zeros(blk, np.int16),
+                                             block=blk),
+            }
+            self._rem: List[np.ndarray] = [
+                np.zeros(0, np.int16) for _ in range(self.S)
+            ]
         self._bufs: List[Optional[np.ndarray]] = [None] * self.S
         self._fed = np.zeros(self.S, bool)
         c = cfg.model.n_classes
@@ -119,13 +146,15 @@ class BatchedStreamingServer:
             -inf so they contribute nothing — exact for every gate
             activation, which all map -inf to 0). One static-shape program
             serves both regular ticks (n_valid = chunk_patches) and flushes.
-            For transfer_dtype="adpcm4", ``wav`` is the (packed nibbles,
-            pred0, index0) tuple and the codec is decoded here on device —
-            the upload stays compressed all the way to HBM."""
+            For transfer_dtype="adpcm4", ``wav`` is one uint8 wire buffer
+            per stream (nibbles + block headers) and the codec is decoded
+            here on device — the upload stays compressed all the way to
+            HBM."""
             if self.transfer_dtype == "adpcm4":
                 from mla_tpu.data.adpcm import adpcm4_decode
 
-                wav = adpcm4_decode(*wav, n=self.chunk_samples, xp=jnp)
+                wav = adpcm4_decode(wav, n=self.chunk_samples,
+                                    block=self._adpcm["block"], xp=jnp)
             elif wav.dtype == jnp.int16:
                 wav = wav.astype(jnp.float32) / 32768.0
             elif wav.dtype == jnp.uint8:  # mu-law expansion on device
@@ -159,22 +188,12 @@ class BatchedStreamingServer:
 
     def _put_batch(self, wav, active, n_valid):
         if self._wav_sh is None:
-            wav = (tuple(jnp.asarray(w) for w in wav)
-                   if isinstance(wav, tuple) else jnp.asarray(wav))
-            return wav, jnp.asarray(active), jnp.asarray(n_valid)
-        # adpcm4's (nibbles, pred0, index0) are all [S, *]: the stream-row
-        # sharding applies to each leaf (device_put broadcasts a single
-        # sharding over a pytree)
+            return jnp.asarray(wav), jnp.asarray(active), jnp.asarray(n_valid)
         return (jax.device_put(wav, self._wav_sh),
                 jax.device_put(active, self._vec_sh),
                 jax.device_put(n_valid, self._vec_sh))
 
     def _dispatch(self, wav, active, n_valid):
-        """Host-side wire encode (adpcm4 only) + one batched device step."""
-        if self.transfer_dtype == "adpcm4":
-            from mla_tpu.data.adpcm import adpcm4_encode
-
-            wav = adpcm4_encode(wav)
         self.states = self._batched_step(
             *(self.states,) + self._put_batch(wav, active, n_valid)
         )
@@ -194,6 +213,8 @@ class BatchedStreamingServer:
         self._fed[sid] = False
 
     def _reset_slot(self, sid: int):
+        if self._adpcm is not None:
+            self._rem[sid] = np.zeros(0, np.int16)
         c = self.cfg.model.n_classes
         blank = ap.init_stream_state((1, c))
         self.states = [
@@ -229,27 +250,82 @@ class BatchedStreamingServer:
             return mulaw_encode(samples)
         return np.asarray(samples, np.float32)
 
-    def feed(self, sid: int, samples: np.ndarray):
+    def _coerce_adpcm(self, sid: int, samples: np.ndarray,
+                      wire: Optional[bool]) -> np.ndarray:
+        """adpcm4 servers buffer wire bytes. uint8 input (or wire=True) is
+        pre-encoded wire — whole block units, zero host work; float/int16
+        is encoded incrementally with a per-stream sub-block remainder."""
+        from mla_tpu.data import adpcm as _ad
+
+        a = self._adpcm
+        samples = np.asarray(samples)
+        if wire or (wire is None and samples.dtype == np.uint8):
+            if samples.dtype != np.uint8 or len(samples) % a["wb"]:
+                raise ValueError(
+                    "adpcm4 wire feed must be uint8 in whole "
+                    f"{a['wb']}-byte block units")
+            return samples
+        if samples.dtype != np.int16:
+            samples = np.asarray(
+                np.clip(np.asarray(samples, np.float32), -1, 1) * 32767.0,
+                np.int16)
+        buf = np.concatenate([self._rem[sid], samples])
+        nb = len(buf) // a["block"]
+        self._rem[sid] = buf[nb * a["block"]:]
+        if nb == 0:
+            return np.zeros(0, np.uint8)
+        return _ad.adpcm4_encode(buf[: nb * a["block"]], block=a["block"])
+
+    def feed(self, sid: int, samples: np.ndarray,
+             wire: Optional[bool] = None):
+        """``wire=True`` marks ``samples`` as already being this server's
+        wire format (adpcm4 block units / mu-law codes / PCM16); the
+        default infers it from the dtype matching the buffer dtype."""
         self._check(sid)
-        self._bufs[sid] = np.concatenate([self._bufs[sid], self._coerce(samples)])
+        new = (self._coerce_adpcm(sid, samples, wire)
+               if self._adpcm is not None else self._coerce(samples))
+        self._bufs[sid] = np.concatenate([self._bufs[sid], new])
 
     def pending(self, sid: int) -> int:
+        """Buffered audio in SAMPLES (for adpcm4: decoded samples the
+        buffered wire blocks + remainder represent)."""
         self._check(sid)
+        if self._adpcm is not None:
+            a = self._adpcm
+            return (len(self._bufs[sid]) // a["wb"] * a["block"]
+                    + len(self._rem[sid]))
         return len(self._bufs[sid])
+
+    def _chunk_hop_units(self):
+        """(chunk, hop) in BUFFER units: samples normally, wire bytes for
+        adpcm4 (whole blocks — overlap re-reads decode identically because
+        blocks are self-contained)."""
+        if self._adpcm is not None:
+            return self._adpcm["chunk_wire"], self._adpcm["hop_wire"]
+        return self.chunk_samples, self.hop_samples
+
+    def _blank_tile(self) -> np.ndarray:
+        """[S, chunk-units] of silence in the buffer's wire format."""
+        if self._adpcm is not None:
+            a = self._adpcm
+            return np.tile(a["silence"], (self.S, a["chunk_wire"] // a["wb"]))
+        return np.full((self.S, self.chunk_samples), self._pad_value,
+                       self._buf_dtype)
 
     def tick(self) -> int:
         """Process one chunk for every stream that has one ready; returns the
         number of streams advanced (0 = nothing ready, no device call)."""
+        cw, hw = self._chunk_hop_units()
         active = np.array(
-            [b is not None and len(b) >= self.chunk_samples for b in self._bufs]
+            [b is not None and len(b) >= cw for b in self._bufs]
         )
         if not active.any():
             return 0
-        wav = np.full((self.S, self.chunk_samples), self._pad_value, self._buf_dtype)
+        wav = self._blank_tile()
         for sid in range(self.S):
             if active[sid]:
-                wav[sid] = self._bufs[sid][: self.chunk_samples]
-                self._bufs[sid] = self._bufs[sid][self.hop_samples :]
+                wav[sid] = self._bufs[sid][:cw]
+                self._bufs[sid] = self._bufs[sid][hw:]
         n_valid = np.full(self.S, self.chunk_patches, np.int32)
         self._dispatch(wav, active, n_valid)
         self._fed |= active
@@ -275,23 +351,38 @@ class BatchedStreamingServer:
         self._check(sid)
         # fold any still-complete chunks first — flush must never discard
         # audio a tick() would have processed
-        while len(self._bufs[sid]) >= self.chunk_samples:
+        cw, _ = self._chunk_hop_units()
+        while len(self._bufs[sid]) >= cw:
             self.tick()
         buf = self._bufs[sid]
-        if len(buf) == 0:
+        if self._adpcm is not None:
+            n_buffered = self.pending(sid)
+            if len(self._rem[sid]):
+                # fold the sub-block remainder into one final wire block
+                # (edge-padded by the encoder; the pad lands only in
+                # patches n_valid masks out)
+                from mla_tpu.data import adpcm as _ad
+
+                buf = np.concatenate([
+                    buf, _ad.adpcm4_encode(self._rem[sid],
+                                           block=self._adpcm["block"])])
+                self._rem[sid] = np.zeros(0, np.int16)
+        else:
+            n_buffered = len(buf)
+        if n_buffered == 0:
             return False
         from mla_tpu.serve.streaming import _whole_patches
 
         fcfg = self.cfg.frontend
-        n_valid_sid = _whole_patches(fcfg, len(buf))
+        n_valid_sid = _whole_patches(fcfg, n_buffered)
         if n_valid_sid < 1:
             if self._fed[sid]:
                 self._bufs[sid] = np.zeros(0, self._buf_dtype)
                 return False
             n_valid_sid = 1  # lone sub-patch stream: zero-pad to one patch
         n_valid_sid = min(n_valid_sid, self.chunk_patches)
-        wav = np.full((self.S, self.chunk_samples), self._pad_value, self._buf_dtype)
-        wav[sid, : min(len(buf), self.chunk_samples)] = buf[: self.chunk_samples]
+        wav = self._blank_tile()
+        wav[sid, : min(len(buf), cw)] = buf[:cw]
         active = np.zeros(self.S, bool)
         active[sid] = True
         n_valid = np.full(self.S, n_valid_sid, np.int32)

@@ -208,7 +208,33 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
     # batch on device from an index vector — the per-step host->device
     # traffic drops from batch-bytes to index-bytes (measured 8 s/step of
     # waveform upload on a transfer-bound host without this).
+    stage = cfg.data.staging_dtype
+    if stage not in ("float32", "int16", "uint8", "adpcm4"):
+        raise ValueError(f"staging_dtype must be float32|int16|uint8|adpcm4,"
+                         f" got {stage!r}")
+    if stage != "float32" and input_kind != "waveform":
+        raise ValueError("compressed staging_dtype needs waveform input "
+                         "(features are not [-1,1] PCM)")
+    staged_x = None
     data_bytes = int(train_ds.x.nbytes) + int(train_ds.y.nbytes)
+    if cfg.data.device_resident and not use_grain and stage != "float32":
+        # compress ONCE on host; the dataset lives in HBM in wire form and
+        # every batch is decoded on device right after the index gather
+        if stage == "uint8":
+            from mla_tpu.data.audio_io import mulaw_encode
+
+            staged_x = mulaw_encode(train_ds.x)
+        else:
+            xi16 = np.asarray(
+                np.clip(np.asarray(train_ds.x, np.float32), -1, 1) * 32767.0,
+                np.int16)
+            if stage == "int16":
+                staged_x = xi16
+            else:  # adpcm4
+                from mla_tpu.data.adpcm import adpcm4_encode
+
+                staged_x = adpcm4_encode(xi16)
+        data_bytes = int(staged_x.nbytes) + int(train_ds.y.nbytes)
     use_device_data = (
         cfg.data.device_resident
         and not use_grain
@@ -216,10 +242,29 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
     )
     gather = x_all = y_all = eval_x_dev = None
     if use_device_data:
-        x_all = pmesh.put_replicated(np.asarray(train_ds.x), mesh)
+        clip_len = int(train_ds.x.shape[1]) if train_ds.x.ndim > 1 else None
+
+        def _stage_decode(xs):
+            if stage == "int16":
+                return xs.astype(jax.numpy.float32) / 32768.0
+            if stage == "uint8":
+                from mla_tpu.data.audio_io import mulaw_decode
+
+                return mulaw_decode(xs, xp=jax.numpy)
+            if stage == "adpcm4":
+                from mla_tpu.data.adpcm import adpcm4_decode
+
+                return adpcm4_decode(xs, n=clip_len, xp=jax.numpy)
+            return xs
+
+        x_host = staged_x if staged_x is not None else np.asarray(train_ds.x)
+        x_all = pmesh.put_replicated(x_host, mesh)
         y_all = pmesh.put_replicated(np.asarray(train_ds.y, np.float32), mesh)
         gather = jax.jit(
-            lambda xs, ys, i: (jax.numpy.take(xs, i, 0), jax.numpy.take(ys, i, 0)),
+            lambda xs, ys, i: (
+                _stage_decode(jax.numpy.take(xs, i, 0)),
+                jax.numpy.take(ys, i, 0),
+            ),
             out_shardings=(bsh, ysh),
         )
         # the HBM-resident eval path slices eagerly, which needs fully
@@ -228,7 +273,9 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             eval_x_dev = jax.device_put(
                 jax.numpy.asarray(eval_ds.x), pmesh.replicated(mesh)
             )
-        say(f"dataset HBM-resident ({data_bytes / 1e6:.0f} MB); device-side batch gather")
+        say(f"dataset HBM-resident ({data_bytes / 1e6:.0f} MB, "
+            f"staging={stage}); device-side batch gather"
+            + ("" if stage == "float32" else " + decode"))
     ckpt = CheckpointManager(
         os.path.join(workspace, "checkpoints", cfg.name), keep=cfg.train.keep_checkpoints
     )

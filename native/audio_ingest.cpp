@@ -14,9 +14,11 @@
 // Build: g++ -O3 -march=native -shared -fPIC audio_ingest.cpp -o libaudio_ingest.so
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -240,52 +242,78 @@ const int32_t kAdpcmIndex[8] = {-1, -1, -1, -1, 2, 4, 6, 8};
 
 }  // namespace
 
-// x: [rows, n] int16 with n a multiple of block. Outputs: packed nibbles
-// [rows, n/2] (low nibble = even sample), pred0 int16 [rows, n/block],
-// index0 uint8 [rows, n/block]. Bit-identical to adpcm.adpcm4_encode.
-void adpcm4_encode(const int16_t* x, long rows, long n, long block,
-                   uint8_t* packed, int16_t* pred0, uint8_t* index0) {
+namespace {
+
+// One row of the wire buffer, block-interleaved: per block the
+// self-contained unit [nibbles block/2 | pred0 int16-LE | index0].
+// Bit-identical to adpcm.adpcm4_encode's numpy path.
+void adpcm4_encode_row(const int16_t* row, long n, long block,
+                       uint8_t* wrow) {
   const long n_blocks = n / block;
-  for (long r = 0; r < rows; ++r) {
-    const int16_t* row = x + r * n;
-    uint8_t* prow = packed + r * (n / 2);
-    for (long blk = 0; blk < n_blocks; ++blk) {
-      const int16_t* b = row + blk * block;
-      long sum = 0;
-      for (long i = 1; i < block; ++i)
-        sum += std::labs(static_cast<long>(b[i]) - b[i - 1]);
-      const int32_t mean =
-          block > 1 ? static_cast<int32_t>(sum / (block - 1)) : 0;
-      int32_t index = 0;
-      while (index < 88 && kAdpcmStep[index] < mean) ++index;
-      int32_t pred = b[0];
-      pred0[r * n_blocks + blk] = static_cast<int16_t>(pred);
-      index0[r * n_blocks + blk] = static_cast<uint8_t>(index);
-      for (long i = 0; i < block; ++i) {
-        const int32_t step = kAdpcmStep[index];
-        int32_t diff = b[i] - pred;
-        const int32_t sign = diff < 0;
-        int32_t mag = sign ? -diff : diff;
-        const int32_t n3 = mag >= step;
-        mag -= n3 * step;
-        const int32_t h = step >> 1;
-        const int32_t n2 = mag >= h;
-        mag -= n2 * h;
-        const int32_t q = step >> 2;
-        const int32_t n1 = mag >= q;
-        const int32_t code = (sign << 3) | (n3 << 2) | (n2 << 1) | n1;
-        const int32_t delta = (step >> 3) + n3 * step + n2 * h + n1 * q;
-        pred += sign ? -delta : delta;
-        pred = std::max(-32768, std::min(32767, pred));
-        index = std::max(0, std::min(88, index + kAdpcmIndex[code & 7]));
-        const long pos = blk * block + i;
-        if (pos & 1)
-          prow[pos >> 1] |= static_cast<uint8_t>(code << 4);
-        else
-          prow[pos >> 1] = static_cast<uint8_t>(code);
-      }
+  const long wb = block / 2 + 3;
+  for (long blk = 0; blk < n_blocks; ++blk) {
+    const int16_t* b = row + blk * block;
+    uint8_t* unit = wrow + blk * wb;
+    long sum = 0;
+    for (long i = 1; i < block; ++i)
+      sum += std::labs(static_cast<long>(b[i]) - b[i - 1]);
+    const int32_t mean =
+        block > 1 ? static_cast<int32_t>(sum / (block - 1)) : 0;
+    int32_t index = 0;
+    while (index < 88 && kAdpcmStep[index] < mean) ++index;
+    int32_t pred = b[0];
+    unit[block / 2] = static_cast<uint8_t>(pred & 0xFF);
+    unit[block / 2 + 1] = static_cast<uint8_t>((pred >> 8) & 0xFF);
+    unit[block / 2 + 2] = static_cast<uint8_t>(index);
+    for (long i = 0; i < block; ++i) {
+      const int32_t step = kAdpcmStep[index];
+      int32_t diff = b[i] - pred;
+      const int32_t sign = diff < 0;
+      int32_t mag = sign ? -diff : diff;
+      const int32_t n3 = mag >= step;
+      mag -= n3 * step;
+      const int32_t h = step >> 1;
+      const int32_t n2 = mag >= h;
+      mag -= n2 * h;
+      const int32_t q = step >> 2;
+      const int32_t n1 = mag >= q;
+      const int32_t code = (sign << 3) | (n3 << 2) | (n2 << 1) | n1;
+      const int32_t delta = (step >> 3) + n3 * step + n2 * h + n1 * q;
+      pred += sign ? -delta : delta;
+      pred = std::max(-32768, std::min(32767, pred));
+      index = std::max(0, std::min(88, index + kAdpcmIndex[code & 7]));
+      if (i & 1)
+        unit[i >> 1] |= static_cast<uint8_t>(code << 4);
+      else
+        unit[i >> 1] = static_cast<uint8_t>(code);
     }
   }
+}
+
+}  // namespace
+
+// x: [rows, n] int16 with n a multiple of block -> block-interleaved wire
+// [rows, (n/block)*(block/2+3)] uint8. Blocks are coder-independent, so
+// rows encode in parallel when cores exist (the serving host here has 1;
+// the serving tier therefore buffers wire bytes and never encodes).
+void adpcm4_encode(const int16_t* x, long rows, long n, long block,
+                   uint8_t* wire) {
+  const long wrow_len = n / 2 + 3 * (n / block);
+  const long n_threads =
+      std::min<long>(rows, std::max(1u, std::thread::hardware_concurrency()));
+  if (n_threads <= 1 || rows == 1) {
+    for (long r = 0; r < rows; ++r)
+      adpcm4_encode_row(x + r * n, n, block, wire + r * wrow_len);
+    return;
+  }
+  std::vector<std::thread> pool;
+  std::atomic<long> next(0);
+  for (long t = 0; t < n_threads; ++t)
+    pool.emplace_back([&]() {
+      for (long r = next.fetch_add(1); r < rows; r = next.fetch_add(1))
+        adpcm4_encode_row(x + r * n, n, block, wire + r * wrow_len);
+    });
+  for (auto& th : pool) th.join();
 }
 
 // ---------- Streaming ring buffer ----------

@@ -33,26 +33,32 @@ TICKS_PER_REPEAT = 12
 REPEATS = 5
 
 
-def bench_dtype(cfg, variables, transfer_dtype: str) -> dict:
+def bench_dtype(cfg, variables, transfer_dtype: str,
+                n_streams: int = N_STREAMS) -> dict:
     srv = BatchedStreamingServer(
-        cfg, variables, max_streams=N_STREAMS, chunk_patches=CHUNK_PATCHES,
+        cfg, variables, max_streams=n_streams, chunk_patches=CHUNK_PATCHES,
         transfer_dtype=transfer_dtype,
     )
-    sids = [srv.open() for _ in range(N_STREAMS)]
+    sids = [srv.open() for _ in range(n_streams)]
     rng = np.random.default_rng(0)
     chunk = (rng.standard_normal(srv.chunk_samples) * 0.1).astype(np.float32)
-    if transfer_dtype in ("int16", "adpcm4"):
+    if transfer_dtype == "int16":
         # feed wire-native bytes, as the HTTP layer does (audio/L16 /
-        # audio/basic bodies pass through _coerce untouched) — the bench
-        # measures the serving tier, not a host-side transcode. adpcm4
-        # buffers int16 and re-encodes per tick (native C++), so its
-        # host-side encode cost is inside the timed region, as deployed.
+        # audio/basic / audio/adpcm4 bodies pass straight into the wire
+        # buffers) — the bench measures the serving tier, not a host-side
+        # transcode
         chunk = np.asarray(np.clip(chunk, -1, 1) * 32767.0, np.int16)
+    elif transfer_dtype == "adpcm4":
+        from mla_tpu.data import adpcm
+
+        chunk = adpcm.adpcm4_encode(
+            np.asarray(np.clip(chunk, -1, 1) * 32767.0, np.int16),
+            block=adpcm.SERVE_BLOCK)
     elif transfer_dtype == "uint8":
         from mla_tpu.data.audio_io import mulaw_encode
 
         chunk = mulaw_encode(chunk)
-    audio_s_per_tick = N_STREAMS * CHUNK_PATCHES * (
+    audio_s_per_tick = n_streams * CHUNK_PATCHES * (
         cfg.frontend.example_hop_frames * cfg.frontend.hop_length
         / cfg.frontend.sample_rate
     )
@@ -75,19 +81,24 @@ def bench_dtype(cfg, variables, transfer_dtype: str) -> dict:
     spread = float((max(times) - min(times)) / med)
     return {
         "transfer_dtype": transfer_dtype,
+        "n_streams": n_streams,
         "audio_seconds_per_s": TICKS_PER_REPEAT * audio_s_per_tick / med,
         "rel_spread": spread,
     }
 
 
 def main():
+    # optional argv: comma-separated wire formats (default: all four) and
+    # stream count — one full sweep no longer fits a 10-minute tool budget
+    dtypes = (sys.argv[1].split(",") if len(sys.argv) > 1
+              else ["float32", "int16", "uint8", "adpcm4"])
+    n_streams = int(sys.argv[2]) if len(sys.argv) > 2 else N_STREAMS
     cfg = get_config("audioset_full_dp")
     model = build_model(cfg.model)
     wav0 = np.zeros(16000 * 2, np.float32)
     patches = waveform_to_patches(jax.numpy.asarray(wav0)[None], cfg.frontend)
     variables = model.init(jax.random.key(0), patches)
-    rows = [bench_dtype(cfg, variables, td)
-            for td in ("float32", "int16", "uint8", "adpcm4")]
+    rows = [bench_dtype(cfg, variables, td, n_streams) for td in dtypes]
     for r in rows:
         print(json.dumps({**r, "audio_seconds_per_s": round(r["audio_seconds_per_s"], 1),
                           "rel_spread": round(r["rel_spread"], 3)}))

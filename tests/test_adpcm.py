@@ -32,25 +32,24 @@ def _snr_db(x, y):
 
 def test_roundtrip_snr():
     x = _program()
-    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
-    y = adpcm.adpcm4_decode(packed, pred0, idx0, n=x.size)
+    wire = adpcm.adpcm4_encode(x)
+    y = adpcm.adpcm4_decode(wire, n=x.size)
     assert y.shape == x.shape and y.dtype == np.float32
     assert _snr_db(x, y) > 20.0  # 4-bit ADPCM lands ~24 dB on this program
 
 
 def test_wire_is_half_of_mulaw():
     x = _program(seconds=1.0)
-    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
-    wire = packed.nbytes + pred0.nbytes + idx0.nbytes
-    assert wire < 0.55 * x.size  # mu-law is 1 byte/sample
+    wire = adpcm.adpcm4_encode(x)
+    assert wire.nbytes < 0.55 * x.size  # mu-law is 1 byte/sample
+    assert wire.nbytes == adpcm.wire_length(x.size)
 
 
 def test_numpy_jnp_decode_bit_identical():
     x = _program(seconds=0.5)
-    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
-    y_np = adpcm.adpcm4_decode(packed, pred0, idx0, n=x.size)
-    y_jnp = np.asarray(adpcm.adpcm4_decode(packed, pred0, idx0, n=x.size,
-                                           xp=jnp))
+    wire = adpcm.adpcm4_encode(x)
+    y_np = adpcm.adpcm4_decode(wire, n=x.size)
+    y_jnp = np.asarray(adpcm.adpcm4_decode(wire, n=x.size, xp=jnp))
     assert np.array_equal(y_np, y_jnp)
 
 
@@ -59,22 +58,21 @@ def test_cpp_numpy_encoders_bit_identical():
 
     if not native.available():
         pytest.skip("native library not built")
-    x = _program(seconds=0.7, seed=3)
-    got = adpcm.adpcm4_encode(x)  # routes to C++
+    x = np.stack([_program(0.7, seed=3 + i) for i in range(5)])
+    got = adpcm.adpcm4_encode(x)  # routes to C++ (threaded across rows)
     native._LIB = False  # force the numpy path
     try:
         want = adpcm.adpcm4_encode(x)
     finally:
         native._LIB = None
-    for g, w in zip(got, want):
-        assert np.array_equal(g, w)
+    assert np.array_equal(got, want)
 
 
 def test_batched_rows_and_padding():
     x = np.stack([_program(0.33, seed=1), -_program(0.33, seed=2)])
     assert x.shape[-1] % adpcm.DEFAULT_BLOCK  # exercises edge padding
-    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
-    y = adpcm.adpcm4_decode(packed, pred0, idx0, n=x.shape[-1])
+    wire = adpcm.adpcm4_encode(x)
+    y = adpcm.adpcm4_decode(wire, n=x.shape[-1])
     assert y.shape == x.shape
     assert _snr_db(x, y) > 20.0
 
@@ -82,16 +80,12 @@ def test_batched_rows_and_padding():
 def test_int16_input_matches_float_input():
     x = _program(seconds=0.4)
     xi = np.asarray(np.clip(x, -1, 1) * 32767.0, np.int16)
-    a = adpcm.adpcm4_encode(x)
-    b = adpcm.adpcm4_encode(xi)
-    for u, v in zip(a, b):
-        assert np.array_equal(u, v)
+    assert np.array_equal(adpcm.adpcm4_encode(x), adpcm.adpcm4_encode(xi))
 
 
 def test_silence_is_exact():
     x = np.zeros(1024, np.float32)
-    packed, pred0, idx0 = adpcm.adpcm4_encode(x)
-    y = adpcm.adpcm4_decode(packed, pred0, idx0, n=x.size)
+    y = adpcm.adpcm4_decode(adpcm.adpcm4_encode(x), n=x.size)
     # pred starts at 0; each step moves by at most step>>3 of the minimum
     # step (7>>3 = 0) — silence reconstructs to exactly 0
     assert np.all(y == 0.0)
@@ -143,3 +137,78 @@ def test_server_adpcm4_matches_float32_scores():
     got = run("adpcm4")
     assert int(np.argmax(ref)) == int(np.argmax(got))
     assert np.max(np.abs(ref - got)) < 0.05
+
+    # wire-native client feed (the production path: client encodes, host
+    # routes bytes, device decodes) must equal the server-side incremental
+    # encode of the same samples BIT-EXACTLY: both carve the same
+    # 64-sample blocks from sample 0
+    whole = len(x) // adpcm.SERVE_BLOCK * adpcm.SERVE_BLOCK
+    wire_bytes = adpcm.adpcm4_encode(
+        np.asarray(np.clip(x[:whole], -1, 1) * 32767.0, np.int16),
+        block=adpcm.SERVE_BLOCK)
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                 chunk_patches=2, transfer_dtype="adpcm4")
+    sid = srv.open()
+    srv.feed(sid, wire_bytes, wire=True)
+    srv.feed(sid, x[whole:])  # sub-block tail via the incremental path
+    srv.drain()
+    srv.flush(sid)
+    wire_scores = srv.scores(sid)
+    np.testing.assert_array_equal(wire_scores, got)
+
+
+def test_http_adpcm4_wire_roundtrip():
+    """POST audio/adpcm4 wire blocks to an adpcm4 server over real HTTP:
+    end-to-end compressed path, scores equal the f32-body path's top-1."""
+    import http.client
+    import threading
+
+    import jax
+
+    from mla_tpu.config import Config, ModelConfig
+    from mla_tpu.data import adpcm as _ad
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops.frontend import waveform_to_patches
+    from mla_tpu.serve.http import create_server
+
+    cfg = Config(
+        name="adpcm_http",
+        model=ModelConfig(variant="single_attention", trunk="cnn",
+                          n_classes=5, n_blocks=1, hidden_units=24,
+                          conv_channels=(4, 8), convs_per_stage=1,
+                          compute_dtype="float32"),
+    )
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(1)
+    probe = waveform_to_patches(
+        jnp.asarray(rng.standard_normal(32000).astype(np.float32))[None],
+        cfg.frontend)
+    variables = model.init(jax.random.key(0), probe)
+    srv = create_server(cfg, variables, port=0, max_streams=2,
+                        chunk_patches=2, transfer_dtype="adpcm4")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = srv.server_address[:2]
+        n = 16000 * 4
+        tt = np.arange(n) / cfg.frontend.sample_rate
+        x = np.clip(0.4 * np.sin(2 * np.pi * 440 * tt)
+                    + 0.1 * rng.standard_normal(n), -1, 1).astype(np.float32)
+        whole = n // _ad.SERVE_BLOCK * _ad.SERVE_BLOCK
+        wire = _ad.adpcm4_encode(
+            np.asarray(x[:whole] * 32767.0, np.int16), block=_ad.SERVE_BLOCK)
+
+        def tag(body, ctype):
+            c = http.client.HTTPConnection(host, port)
+            c.request("POST", "/v1/tag?top_k=3", body=body,
+                      headers={"Content-Type": ctype})
+            r = c.getresponse()
+            assert r.status == 200, r.read()
+            import json
+            return json.loads(r.read())["top_k"]
+
+        top_wire = tag(wire.tobytes(), "audio/adpcm4")
+        top_f32 = tag(x.tobytes(), "application/octet-stream")
+        assert top_wire[0][0] == top_f32[0][0]
+    finally:
+        srv.shutdown()
