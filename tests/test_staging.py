@@ -26,8 +26,8 @@ def _cfg(tmp_path, stage, steps=6):
         data=DataConfig(dataset="synthetic_esc50", n_train_clips=16,
                         n_eval_clips=8, clip_seconds=2.0,
                         balanced_sampling=False, staging_dtype=stage),
-        train=TrainConfig(batch_size=4, num_steps=steps, eval_every=0,
-                          checkpoint_every=0, log_every=100,
+        train=TrainConfig(batch_size=4, num_steps=steps, eval_every=1000,
+                          checkpoint_every=0, log_every=1,
                           data_parallel=1),
     )
 
@@ -35,7 +35,7 @@ def _cfg(tmp_path, stage, steps=6):
 @pytest.mark.parametrize("stage", ["int16", "uint8", "adpcm4"])
 def test_fit_trains_with_compressed_staging(stage, tmp_path):
     res = fit(_cfg(tmp_path, stage), log=False)
-    losses = [l for _, l in res.losses]
+    losses = np.array([h["loss"] for h in res.history])
     assert np.isfinite(losses).all()
     # quantized inputs must not break learning on the easy synthetic task
     assert losses[-1] < losses[0]
@@ -46,8 +46,8 @@ def test_int16_staging_matches_float32_losses(tmp_path):
     trajectory stays within float-noise of the uncompressed run."""
     ref = fit(_cfg(tmp_path, "float32"), log=False)
     got = fit(_cfg(tmp_path, "int16"), log=False)
-    r = np.array([l for _, l in ref.losses])
-    g = np.array([l for _, l in got.losses])
+    r = np.array([h["loss"] for h in ref.history])
+    g = np.array([h["loss"] for h in got.history])
     np.testing.assert_allclose(g, r, rtol=2e-2, atol=2e-3)
 
 
