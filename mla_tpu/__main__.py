@@ -549,9 +549,10 @@ def main(argv=None):
     sx.add_argument("--batch", type=int, default=8)
     sx.add_argument("--seconds", type=float, default=10.0)
     sx.add_argument("--input_dtype", default="float32",
-                    choices=["float32", "int16", "uint8"],
-                    help="bake the wire format in: int16 PCM or uint8 mu-law "
-                         "inputs are expanded inside the compiled program")
+                    choices=["float32", "int16", "uint8", "adpcm4"],
+                    help="bake the wire format in: int16 PCM / uint8 mu-law /"
+                         " adpcm4 wire inputs are decoded inside the compiled"
+                         " program")
     sx.add_argument("--set", nargs="*")
     sx.set_defaults(fn=cmd_export)
 

@@ -42,9 +42,10 @@ def export_forward(
     """Serialize the one-shot forward (waveform [batch, n] -> probs
     [batch, C]) with weights baked in; returns the metadata dict that is
     also stored in the artifact header. ``input_dtype`` bakes the serving
-    wire format into the artifact: "int16" (PCM16) or "uint8" (8-bit
-    mu-law) prepend the device-side expansion, so an edge deployment
-    feeds raw wire bytes straight to the compiled program."""
+    wire format into the artifact: "int16" (PCM16), "uint8" (8-bit
+    mu-law), or "adpcm4" (4-bit block ADPCM wire, data/adpcm.py) prepend
+    the device-side expansion/decode, so an edge deployment feeds raw
+    wire bytes straight to the compiled program."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -52,13 +53,27 @@ def export_forward(
     from mla_tpu.models.zoo import build_model
     from mla_tpu.ops import frontend as fe
 
-    if input_dtype not in ("float32", "int16", "uint8"):
-        raise ValueError(f"input_dtype must be float32|int16|uint8, got {input_dtype!r}")
+    if input_dtype not in ("float32", "int16", "uint8", "adpcm4"):
+        raise ValueError("input_dtype must be float32|int16|uint8|adpcm4, "
+                         f"got {input_dtype!r}")
     model = build_model(cfg.model)
     n_samples = int(round(seconds * cfg.frontend.sample_rate))
+    wire_len = None
+    if input_dtype == "adpcm4":
+        from mla_tpu.data import adpcm as _ad
+
+        if n_samples % _ad.SERVE_BLOCK:
+            raise ValueError(
+                f"adpcm4 export needs n_samples divisible by "
+                f"{_ad.SERVE_BLOCK}, got {n_samples}")
+        wire_len = _ad.wire_length(n_samples, _ad.SERVE_BLOCK)
 
     def forward(wav):
-        if wav.dtype == jnp.int16:
+        if input_dtype == "adpcm4":
+            from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm4_decode
+
+            wav = adpcm4_decode(wav, n=n_samples, block=SERVE_BLOCK, xp=jnp)
+        elif wav.dtype == jnp.int16:
             wav = wav.astype(jnp.float32) / 32768.0
         elif wav.dtype == jnp.uint8:
             from mla_tpu.data.audio_io import mulaw_decode
@@ -67,8 +82,10 @@ def export_forward(
         patches = fe.waveform_to_patches(wav, cfg.frontend)
         return model.apply(variables, patches, train=False).astype(jnp.float32)
 
+    in_shape = (batch, wire_len) if wire_len else (batch, n_samples)
+    in_dtype = jnp.uint8 if input_dtype == "adpcm4" else jnp.dtype(input_dtype)
     exp = jexport.export(jax.jit(forward), platforms=tuple(platforms))(
-        jax.ShapeDtypeStruct((batch, n_samples), jnp.dtype(input_dtype))
+        jax.ShapeDtypeStruct(in_shape, in_dtype)
     )
     payload = exp.serialize()
     meta = {
@@ -81,6 +98,8 @@ def export_forward(
         "platforms": list(exp.platforms),
         "input_dtype": input_dtype,
     }
+    if wire_len:
+        meta["wire_length"] = wire_len
     header = json.dumps(meta).encode()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
@@ -109,8 +128,10 @@ def load_exported(path: str) -> Callable[[np.ndarray], np.ndarray]:
     def fn(wav: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
-        wav = jnp.asarray(wav, jnp.dtype(meta.get("input_dtype", "float32")))
-        want = (meta["batch"], meta["n_samples"])
+        idt = meta.get("input_dtype", "float32")
+        wav = jnp.asarray(wav, jnp.uint8 if idt == "adpcm4"
+                          else jnp.dtype(idt))
+        want = (meta["batch"], meta.get("wire_length") or meta["n_samples"])
         if tuple(wav.shape) != want:
             raise ValueError(f"exported program is static-shaped {want}, got {tuple(wav.shape)}")
         return np.asarray(exp.call(wav))

@@ -100,6 +100,20 @@ def test_export_wire_format_inputs(setup, tmp_path):
     np.testing.assert_allclose(got8, want, atol=5e-2)
     assert np.argmax(got8, 1).tolist() == np.argmax(want, 1).tolist()
 
+    pa = str(tmp_path / "a4.mlax")
+    from mla_tpu.data import adpcm as _ad
+
+    meta_a = export_forward(cfg, variables, pa, batch=2, seconds=2.0,
+                            platforms=("cpu",), input_dtype="adpcm4")
+    assert meta_a["wire_length"] == _ad.wire_length(meta_a["n_samples"],
+                                                    _ad.SERVE_BLOCK)
+    fna = load_exported(pa)
+    wire = _ad.adpcm4_encode(
+        np.asarray(np.clip(wav, -1, 1) * 32767.0, np.int16),
+        block=_ad.SERVE_BLOCK)
+    gota = fna(wire)
+    assert np.argmax(gota, 1).tolist() == np.argmax(want, 1).tolist()
+
     with pytest.raises(ValueError, match="input_dtype"):
         export_forward(cfg, variables, str(tmp_path / "x.mlax"),
                        platforms=("cpu",), input_dtype="int8")
