@@ -188,6 +188,12 @@ class TrainConfig:
     freq_mask_width: int = 12
     # mixup over the batch (any input kind); 0 = off
     mixup_alpha: float = 0.0
+    # Polyak/EMA of params: shadow tree decayed toward the online params
+    # each step (0 = off; typical 0.999); ema_eval reads it for eval and
+    # checkpoint-served inference — the smoother late-training operating
+    # point standard in audio tagging
+    ema_decay: float = 0.0
+    ema_eval: bool = True
 
 
 @dataclass(frozen=True)

@@ -31,6 +31,12 @@ class TrainState:
     batch_stats: Any  # {} when the model has no BatchNorm
     opt_state: Any
     dropout_key: jax.Array
+    # Polyak/EMA shadow of params (None when train.ema_decay == 0): decays
+    # toward the online params each step; eval/serving read it for the
+    # smoother late-training operating point standard in audio tagging.
+    # As a pytree mirroring params it inherits TP shardings and Orbax
+    # checkpointing for free.
+    ema_params: Any = None
 
 
 def bce_loss(probs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
@@ -80,6 +86,8 @@ def create_train_state(
         batch_stats=variables.get("batch_stats", {}),
         opt_state=tx.init(params),
         dropout_key=dropout_key,
+        ema_params=(jax.tree.map(jnp.asarray, params)
+                    if cfg.train.ema_decay > 0 else None),
     )
 
 
@@ -142,24 +150,42 @@ def make_train_step(
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        d = cfg.train.ema_decay
+        new_ema = (
+            jax.tree.map(lambda e, p: d * e + (1.0 - d) * p,
+                         state.ema_params, new_params)
+            if d > 0 else state.ema_params
+        )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
+            ema_params=new_ema,
         )
         return new_state, loss
 
     return step
 
 
+def eval_params(cfg: Config, state: TrainState) -> Any:
+    """The param tree eval/serving should read: the EMA shadow when
+    enabled (train.ema_decay > 0 and train.ema_eval), else the online
+    params."""
+    if cfg.train.ema_decay > 0 and cfg.train.ema_eval \
+            and state.ema_params is not None:
+        return state.ema_params
+    return state.params
+
+
 def make_eval_step(cfg: Config, model: AudioTagger, input_kind: str):
-    """(state, x) -> probs, eval mode (running BN stats, no dropout)."""
+    """(state, x) -> probs, eval mode (running BN stats, no dropout;
+    EMA params when enabled)."""
 
     def step(state: TrainState, x: jnp.ndarray) -> jnp.ndarray:
         if input_kind == "waveform":
             x = _apply_frontend(cfg, x)
-        variables = {"params": state.params}
+        variables = {"params": eval_params(cfg, state)}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         return model.apply(variables, x, train=False).astype(jnp.float32)
