@@ -1,0 +1,191 @@
+"""Python client for the HTTP tagging service (serve/http.py) — the
+other half of the compressed-wire story: the SERVER never touches
+samples when the client encodes, so the client library owns the wire
+encoders (PCM16, 8-bit mu-law, 4-bit block ADPCM from data/adpcm.py).
+
+stdlib-only (http.client + numpy), mirroring the server's zero-dependency
+stance; the reference has no service at all (its C15 is a script —
+SURVEY.md §2.1).
+
+    c = TagClient("http://host:8000")
+    c.tag(wav)                        # one-shot: [(label, prob), ...]
+    c.tag_file("clip.wav")
+    with c.stream(wire="adpcm4") as s:
+        s.feed(block); s.feed(block)  # arbitrary block sizes
+        s.flush()
+        s.scores(top_k=5)
+
+Wire formats (``wire=``): "float32" (4 B/sample), "int16" (2), "mulaw"
+(1), "adpcm4" (~0.55 — encoded client-side in 64-sample blocks with a
+sub-block remainder carried between feeds). The server decodes int16 /
+mu-law / adpcm4 ON DEVICE when its transfer_dtype matches; mismatched
+combinations still work (the server transcodes host-side).
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+from typing import List, Optional, Tuple
+from urllib.parse import urlparse
+
+import numpy as np
+
+_CTYPE = {
+    "float32": "application/octet-stream",
+    "int16": "audio/L16",
+    "mulaw": "audio/basic",
+    "adpcm4": "audio/adpcm4",
+    "wav": "audio/wav",
+}
+
+
+class _WireEncoder:
+    """Stateful sample -> wire-bytes encoder for one stream. adpcm4 needs
+    the state: blocks are 64 samples, so a sub-block remainder is carried
+    between feed() calls (flush() pads the final partial block — the
+    server masks sub-patch tails anyway)."""
+
+    def __init__(self, wire: str):
+        if wire not in ("float32", "int16", "mulaw", "adpcm4"):
+            raise ValueError(
+                f"wire must be float32|int16|mulaw|adpcm4, got {wire!r}")
+        self.wire = wire
+        self._rem = np.zeros(0, np.int16)
+
+    @staticmethod
+    def _int16(x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x)
+        if x.dtype == np.int16:
+            return x
+        return np.asarray(
+            np.clip(np.asarray(x, np.float32), -1, 1) * 32767.0, np.int16)
+
+    def encode(self, x: np.ndarray, final: bool = False) -> bytes:
+        if self.wire == "float32":
+            return np.asarray(x, np.float32).tobytes()
+        if self.wire == "int16":
+            return self._int16(x).astype("<i2").tobytes()
+        if self.wire == "mulaw":
+            from mla_tpu.data.audio_io import mulaw_encode
+
+            return mulaw_encode(np.asarray(x, np.float32)).tobytes()
+        from mla_tpu.data import adpcm
+
+        buf = np.concatenate([self._rem, self._int16(x)])
+        nb = len(buf) // adpcm.SERVE_BLOCK
+        if final:
+            self._rem = np.zeros(0, np.int16)
+            if len(buf) == 0:
+                return b""
+            return adpcm.adpcm4_encode(buf, block=adpcm.SERVE_BLOCK).tobytes()
+        self._rem = buf[nb * adpcm.SERVE_BLOCK:]
+        if nb == 0:
+            return b""
+        return adpcm.adpcm4_encode(
+            buf[: nb * adpcm.SERVE_BLOCK], block=adpcm.SERVE_BLOCK).tobytes()
+
+
+class TagClient:
+    """Thin HTTP client; one instance per service, connections per call
+    (the service is request-serialized anyway)."""
+
+    def __init__(self, base_url: str, timeout: float = 60.0):
+        u = urlparse(base_url)
+        if u.scheme not in ("http", ""):
+            raise ValueError(f"only http:// is supported, got {base_url!r}")
+        self.host = u.hostname or "127.0.0.1"
+        self.port = u.port or 8000
+        self.timeout = timeout
+
+    def _request(self, method: str, path: str, body: Optional[bytes] = None,
+                 ctype: str = "application/octet-stream") -> dict:
+        conn = http.client.HTTPConnection(self.host, self.port,
+                                          timeout=self.timeout)
+        try:
+            headers = {"Content-Type": ctype} if body is not None else {}
+            conn.request(method, path, body=body, headers=headers)
+            resp = conn.getresponse()
+            payload = json.loads(resp.read().decode())
+            if resp.status != 200:
+                raise TagServiceError(resp.status,
+                                      payload.get("error", str(payload)))
+            return payload
+        finally:
+            conn.close()
+
+    def health(self) -> dict:
+        return self._request("GET", "/v1/healthz")
+
+    def tag(self, wav: np.ndarray, top_k: int = 5,
+            wire: str = "int16") -> List[Tuple[str, float]]:
+        """One-shot: waveform (float [-1,1] or int16, service sample rate)
+        -> [(label, prob), ...]. ``wire`` picks the upload encoding."""
+        enc = _WireEncoder(wire)
+        body = enc.encode(np.asarray(wav).reshape(-1), final=True)
+        out = self._request("POST", f"/v1/tag?top_k={top_k}", body,
+                            _CTYPE[wire])
+        return [(name, float(p)) for name, p in out["top_k"]]
+
+    def tag_file(self, path: str, top_k: int = 5) -> List[Tuple[str, float]]:
+        """POST a wav file as-is (the server decodes/resamples)."""
+        with open(path, "rb") as f:
+            body = f.read()
+        out = self._request("POST", f"/v1/tag?top_k={top_k}", body,
+                            _CTYPE["wav"])
+        return [(name, float(p)) for name, p in out["top_k"]]
+
+    def stream(self, wire: str = "int16") -> "TagStream":
+        return TagStream(self, wire)
+
+
+class TagStream:
+    """One long-form stream: feed arbitrary sample blocks, read scores at
+    any time. Context-manager closes the server slot."""
+
+    def __init__(self, client: TagClient, wire: str):
+        self._c = client
+        self._enc = _WireEncoder(wire)
+        self._ctype = _CTYPE[wire]
+        out = client._request("POST", "/v1/streams")
+        self.sid = out["sid"]
+        self.chunk_samples = out.get("chunk_samples")
+
+    def feed(self, samples: np.ndarray) -> int:
+        """Send a block; returns how many server chunks advanced."""
+        body = self._enc.encode(np.asarray(samples).reshape(-1))
+        if not body:
+            return 0  # adpcm4 sub-block remainder: nothing to send yet
+        out = self._c._request(
+            "POST", f"/v1/streams/{self.sid}/audio", body, self._ctype)
+        return int(out.get("advanced", 0))
+
+    def flush(self) -> bool:
+        tail = self._enc.encode(np.zeros(0, np.int16), final=True)
+        if tail:
+            self._c._request("POST", f"/v1/streams/{self.sid}/audio", tail,
+                             self._ctype)
+        out = self._c._request("POST", f"/v1/streams/{self.sid}/flush")
+        return bool(out.get("flushed", False))
+
+    def scores(self, top_k: int = 5) -> List[Tuple[str, float]]:
+        out = self._c._request(
+            "GET", f"/v1/streams/{self.sid}/scores?top_k={top_k}")
+        return [(name, float(p)) for name, p in out["top_k"]]
+
+    def close(self):
+        if self.sid is not None:
+            self._c._request("DELETE", f"/v1/streams/{self.sid}")
+            self.sid = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class TagServiceError(RuntimeError):
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
