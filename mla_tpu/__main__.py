@@ -10,6 +10,7 @@ prep, feature extraction, train, eval, inference).
     python -m mla_tpu infer    --config=... --wav=a.wav [--stream]
     python -m mla_tpu export   --config=... --out=model.mlax (AOT StableHLO)
     python -m mla_tpu serve    --config=... --port=8000 (HTTP streaming service)
+    python -m mla_tpu tag      --url=http://host:8000 --wav=a.wav (client SDK)
     python -m mla_tpu profile  --config=... --out=/tmp/trace (profiler trace)
     python -m mla_tpu parity   (reference-parity harness, T12)
     python -m mla_tpu configs
@@ -429,6 +430,23 @@ def cmd_export(args):
     print(_jdump({"out": args.out, **meta}))
 
 
+def cmd_tag(args):
+    """Client side of ``serve``: tag a wav through a RUNNING service,
+    uploading in the chosen wire encoding (serve/client.py)."""
+    from mla_tpu.serve.client import TagClient
+
+    c = TagClient(args.url)
+    if args.wire == "wav":
+        top = c.tag_file(args.wav, top_k=args.top_k)
+    else:
+        from mla_tpu.data import audio_io
+
+        sr = int(c.health().get("sample_rate", 16000))
+        wav = audio_io.load_wav_16k(args.wav, sr)
+        top = c.tag(wav, top_k=args.top_k, wire=args.wire)
+    print(_jdump({"top_k": [[n, float(p)] for n, p in top]}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="mla_tpu", description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
@@ -541,6 +559,16 @@ def main(argv=None):
                          "(4-bit block ADPCM, decoded on device) is ~1/8 of f32")
     ss.add_argument("--set", nargs="*")
     ss.set_defaults(fn=cmd_serve)
+
+    sg = sub.add_parser("tag", help="tag a wav via a running serve endpoint")
+    sg.add_argument("--url", default="http://127.0.0.1:8000")
+    sg.add_argument("--wav", required=True)
+    sg.add_argument("--top_k", type=int, default=5)
+    sg.add_argument("--wire", default="adpcm4",
+                    choices=["wav", "float32", "int16", "mulaw", "adpcm4"],
+                    help="upload encoding; adpcm4 is ~1/8 of float32 and "
+                         "decodes on the serving device")
+    sg.set_defaults(fn=cmd_tag)
 
     sx = sub.add_parser("export", help="AOT-export waveform->probs to StableHLO")
     sx.add_argument("--config", default="streaming_inference")

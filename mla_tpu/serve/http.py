@@ -153,7 +153,9 @@ class _Handler(BaseHTTPRequestHandler):
                 open_n = sum(b is not None for b in st.server._bufs)
             self._reply(200, {"ok": True, "open_streams": open_n,
                               "max_streams": st.server.S,
-                              "variant": st.cfg.model.variant})
+                              "variant": st.cfg.model.variant,
+                              "sample_rate": st.cfg.frontend.sample_rate,
+                              "transfer_dtype": st.server.transfer_dtype})
             return
         m = _STREAM_RE.match(self.path.split("?")[0])
         if m and m.group(2) == "scores":

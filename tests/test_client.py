@@ -97,6 +97,29 @@ def test_stream_int16_default_server(setup):
         srv.shutdown()
 
 
+def test_tag_cli_verb(setup, tmp_path, capsys):
+    """`python -m mla_tpu tag --url ... --wav ... --wire adpcm4` drives a
+    running service through the client SDK."""
+    import json
+
+    from mla_tpu.__main__ import main
+    from mla_tpu.data.audio_io import write_wav
+
+    cfg, variables, wav = setup
+    srv, c = _spawn(cfg, variables, "adpcm4")
+    try:
+        p = str(tmp_path / "clip.wav")
+        write_wav(p, wav, cfg.frontend.sample_rate)
+        url = f"http://{srv.server_address[0]}:{srv.server_address[1]}"
+        main(["tag", "--url", url, "--wav", p, "--wire", "adpcm4",
+              "--top_k", "3"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert len(out["top_k"]) == 3
+        assert out["top_k"][0][0] == c.tag(wav, wire="adpcm4")[0][0]
+    finally:
+        srv.shutdown()
+
+
 def test_error_mapping(setup):
     cfg, variables, wav = setup
     srv, c = _spawn(cfg, variables, "adpcm4")
