@@ -157,6 +157,28 @@ def test_server_adpcm4_matches_float32_scores():
     np.testing.assert_array_equal(wire_scores, got)
 
 
+def test_wire_format_golden_frozen():
+    """The wire layout is a cross-version CLIENT/SERVER contract (clients
+    encode, servers route bytes, devices decode): the frozen golden pins
+    both the encoder's exact bytes and the decoder's exact reconstruction
+    for the storage (256) and serving (64) block sizes. If this test
+    fails after an intentional codec change, the wire format is no longer
+    compatible with deployed clients — version it, don't refreeze."""
+    import os
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "adpcm_wire.npz"))
+    x = g["x"]
+    np.testing.assert_array_equal(adpcm.adpcm4_encode(x), g["wire256"])
+    np.testing.assert_array_equal(
+        adpcm.adpcm4_encode(x, block=adpcm.SERVE_BLOCK), g["wire64"])
+    np.testing.assert_array_equal(
+        adpcm.adpcm4_decode(g["wire256"], n=x.size), g["dec256"])
+    np.testing.assert_array_equal(
+        adpcm.adpcm4_decode(g["wire64"], n=x.size, block=adpcm.SERVE_BLOCK),
+        g["dec64"])
+
+
 def test_http_adpcm4_wire_roundtrip():
     """POST audio/adpcm4 wire blocks to an adpcm4 server over real HTTP:
     end-to-end compressed path, scores equal the f32-body path's top-1."""
