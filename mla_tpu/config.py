@@ -138,14 +138,15 @@ class DataConfig:
     # full waveform batch to one index vector.
     device_resident: bool = True
     device_resident_max_bytes: int = 2 * 1024**3
-    # HBM-staging precision for device-resident WAVEFORM datasets:
-    # float32 | int16 (2x capacity, lossless for PCM16-sourced audio) |
-    # uint8 (8-bit mu-law, 4x, ~38 dB SNR) | adpcm4 (4-bit block ADPCM,
-    # ~8x, ~24-31 dB SNR). The dataset lives in HBM compressed and each
-    # batch is decoded ON DEVICE inside the gather program right after the
-    # index gather — the train step still sees float32. Also shrinks the
-    # one-time staging upload by the same factor (a transfer-bound host
-    # pays ~50 ms/MB).
+    # Wire precision WAVEFORM batches travel to the device in:
+    # float32 | int16 (2x, lossless for PCM16-sourced audio) | uint8
+    # (8-bit mu-law, 4x, ~38 dB SNR) | adpcm4 (4-bit block ADPCM, ~8x,
+    # ~24 dB SNR). Applies to BOTH input paths: the device-resident
+    # dataset is staged in HBM compressed (2-8x more audio per chip) and
+    # streamed batches (grain / non-resident) are encoded per batch on
+    # host — either way the train step decodes on device. Streaming is
+    # where it matters at scale: real AudioSet waveforms (~640 GB) can
+    # only stream, and a transfer-bound host pays ~50 ms/MB.
     staging_dtype: str = "float32"
 
 

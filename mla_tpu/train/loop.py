@@ -186,8 +186,11 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
 
     bsh = pmesh.batch_sharding(mesh, train_ds.x.ndim)
     ysh = pmesh.batch_sharding(mesh, 2)
+    clip_samples = (int(train_ds.x.shape[1])
+                    if input_kind == "waveform" and train_ds.x.ndim > 1
+                    else None)
     train_step = jax.jit(
-        make_train_step(cfg, model, input_kind),
+        make_train_step(cfg, model, input_kind, clip_samples=clip_samples),
         in_shardings=(st_shardings, bsh, ysh),
         out_shardings=(st_shardings, pmesh.replicated(mesh)),
         donate_argnums=(0,) if cfg.train.donate_state else (),
@@ -240,31 +243,35 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         and not use_grain
         and data_bytes <= cfg.data.device_resident_max_bytes
     )
+    # per-batch host encoder for STREAMED feeds (grain / non-resident):
+    # batches travel to the device in the same wire form the resident
+    # path stages in HBM; the train step decodes either way on device.
+    # Real-scale datasets (AudioSet waveforms are ~640 GB) can only
+    # stream, so the 2-8x upload shrink is the scale story, not a cache.
+    def _encode_feed(bx: np.ndarray) -> np.ndarray:
+        if stage == "float32" or input_kind != "waveform":
+            return np.asarray(bx)
+        if stage == "uint8":
+            from mla_tpu.data.audio_io import mulaw_encode
+
+            return mulaw_encode(bx)
+        bi = np.asarray(
+            np.clip(np.asarray(bx, np.float32), -1, 1) * 32767.0, np.int16)
+        if stage == "int16":
+            return bi
+        from mla_tpu.data.adpcm import adpcm4_encode
+
+        return adpcm4_encode(bi)
+
     gather = x_all = y_all = eval_x_dev = None
     if use_device_data:
-        clip_len = int(train_ds.x.shape[1]) if train_ds.x.ndim > 1 else None
-
-        def _stage_decode(xs):
-            if stage == "int16":
-                return xs.astype(jax.numpy.float32) / 32768.0
-            if stage == "uint8":
-                from mla_tpu.data.audio_io import mulaw_decode
-
-                return mulaw_decode(xs, xp=jax.numpy)
-            if stage == "adpcm4":
-                from mla_tpu.data.adpcm import adpcm4_decode
-
-                return adpcm4_decode(xs, n=clip_len, xp=jax.numpy)
-            return xs
-
         x_host = staged_x if staged_x is not None else np.asarray(train_ds.x)
         x_all = pmesh.put_replicated(x_host, mesh)
         y_all = pmesh.put_replicated(np.asarray(train_ds.y, np.float32), mesh)
+        # rows stay in wire form through the gather; the train step decodes
         gather = jax.jit(
-            lambda xs, ys, i: (
-                _stage_decode(jax.numpy.take(xs, i, 0)),
-                jax.numpy.take(ys, i, 0),
-            ),
+            lambda xs, ys, i: (jax.numpy.take(xs, i, 0),
+                               jax.numpy.take(ys, i, 0)),
             out_shardings=(bsh, ysh),
         )
         # the HBM-resident eval path slices eagerly, which needs fully
@@ -388,7 +395,7 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         for step_i in range(start_step, cfg.train.num_steps):
             if grain_it is not None:
                 bx, by = next(grain_it)  # already this host's slice
-                x = pmesh.put_local_batch(bx, mesh, bs)
+                x = pmesh.put_local_batch(_encode_feed(bx), mesh, bs)
                 y = pmesh.put_local_batch(np.asarray(by, np.float32), mesh, bs)
             else:
                 idx = (
@@ -400,7 +407,8 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
                         x_all, y_all, pmesh.put_replicated(np.asarray(idx), mesh)
                     )
                 else:
-                    x = pmesh.put_local_batch(train_ds.x[idx[local_sl]], mesh, bs)
+                    x = pmesh.put_local_batch(
+                        _encode_feed(train_ds.x[idx[local_sl]]), mesh, bs)
                     y = pmesh.put_local_batch(
                         np.asarray(train_ds.y[idx[local_sl]], np.float32), mesh, bs
                     )

@@ -97,11 +97,34 @@ def _apply_frontend(cfg: Config, x: jnp.ndarray) -> jnp.ndarray:
     return fe.apply_frontend(x, cfg.frontend)
 
 
+def decode_staged(x: jnp.ndarray, stage: str,
+                  clip_samples: Optional[int] = None) -> jnp.ndarray:
+    """Device-side decode of a compressed waveform batch
+    (DataConfig.staging_dtype wire form) -> float32 [-1,1]. Used inside
+    the jitted train step for BOTH input paths: HBM-resident gathers and
+    host-streamed batches travel in wire form either way."""
+    if stage == "int16":
+        return x.astype(jnp.float32) / 32768.0
+    if stage == "uint8":
+        from mla_tpu.data.audio_io import mulaw_decode
+
+        return mulaw_decode(x, xp=jnp)
+    if stage == "adpcm4":
+        from mla_tpu.data.adpcm import adpcm4_decode
+
+        return adpcm4_decode(x, n=clip_samples, xp=jnp)
+    return x
+
+
 def make_train_step(
-    cfg: Config, model: AudioTagger, input_kind: str
+    cfg: Config, model: AudioTagger, input_kind: str,
+    clip_samples: Optional[int] = None,
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray], Tuple[TrainState, jnp.ndarray]]:
     """(state, x, y) -> (state', loss). x is a waveform [B, n], feature
-    sequence [B, T, D], or patch tensor [B, T, 96, 64] per ``input_kind``."""
+    sequence [B, T, D], or patch tensor [B, T, 96, 64] per ``input_kind``.
+    With ``data.staging_dtype != float32`` (waveform input), x arrives in
+    wire form and is decoded here on device; ``clip_samples`` slices the
+    adpcm4 block padding (None = no slicing, for block-aligned clips)."""
     tx = make_optimizer(cfg)
     # CompactCNN-family trunks default to BatchNorm (mutable batch_stats)
     has_bn = cfg.model.trunk in ("cnn", "cnn10", "cnn14")
@@ -116,6 +139,7 @@ def make_train_step(
 
     def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
         if input_kind == "waveform":
+            x = decode_staged(x, cfg.data.staging_dtype, clip_samples)
             x_in = _apply_frontend(train_cfg, x)
         else:
             x_in = x

@@ -51,6 +51,30 @@ def test_int16_staging_matches_float32_losses(tmp_path):
     np.testing.assert_allclose(g, r, rtol=2e-2, atol=2e-3)
 
 
+def test_grain_stream_int16_matches_float32_losses(tmp_path):
+    """Streamed (grain) batches travel in wire form too: the same int16
+    quantization bound as the HBM-resident path, so grain+int16 tracks
+    grain+float32 within float noise."""
+    def run(stage):
+        cfg = _cfg(tmp_path, stage)
+        cfg = dataclasses.replace(
+            cfg, name="grain_" + stage,
+            data=dataclasses.replace(cfg.data, pipeline="grain"))
+        return np.array([h["loss"] for h in fit(cfg, log=False).history])
+
+    np.testing.assert_allclose(run("int16"), run("float32"),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_grain_stream_adpcm4_learns(tmp_path):
+    cfg = _cfg(tmp_path, "adpcm4")
+    cfg = dataclasses.replace(
+        cfg, name="grain_adpcm4",
+        data=dataclasses.replace(cfg.data, pipeline="grain"))
+    losses = np.array([h["loss"] for h in fit(cfg, log=False).history])
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
 def test_compressed_staging_rejects_feature_input(tmp_path):
     cfg = _cfg(tmp_path, "int16")
     cfg = dataclasses.replace(
