@@ -291,11 +291,20 @@ def cmd_weights(args):
     ckpt_dir = os.path.join(workspace, "checkpoints", cfg.name)
     if args.out:
         from mla_tpu.train.loop import resume
+        from mla_tpu.train.state import eval_params
 
         state, _ = resume(cfg, workspace)
         # params AND batch_stats: BatchNorm running averages are part of the
-        # model function in eval mode — weights alone predict garbage
-        flat = params_to_flat(jax.tree.map(np.asarray, dict(state.params)),
+        # model function in eval mode — weights alone predict garbage.
+        # --ema dumps the Polyak shadow (the serving tree when
+        # train.ema_decay > 0) instead of the online params.
+        p = state.params
+        if getattr(args, "ema", False):
+            if state.ema_params is None:
+                raise SystemExit("checkpoint has no EMA shadow "
+                                 "(trained with train.ema_decay=0)")
+            p = state.ema_params
+        flat = params_to_flat(jax.tree.map(np.asarray, dict(p)),
                               prefix="params/")
         if state.batch_stats:
             flat.update(params_to_flat(
@@ -529,6 +538,9 @@ def main(argv=None):
     sw.add_argument("--workspace", default=None)
     sw.add_argument("--out", default=None, help="dump latest checkpoint params to .npz")
     sw.add_argument("--load", default=None, help="import .npz as a step-0 checkpoint")
+    sw.add_argument("--ema", action="store_true",
+                    help="--out dumps the EMA (Polyak) shadow instead of "
+                         "the online params")
     sw.add_argument("--allow_partial", action="store_true",
                     help="warm-start only the matching keys (transfer "
                          "learning: pretrained trunk + fresh heads)")

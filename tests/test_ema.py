@@ -93,6 +93,29 @@ def test_eval_reads_frozen_shadow():
                                atol=1e-6)
 
 
+def test_weights_verb_dumps_ema_shadow(tmp_path, capsys):
+    """`weights --out --ema` exports the Polyak shadow (the serving
+    tree), not the online params."""
+    from mla_tpu import config as _cmod
+    from mla_tpu.models.convert import params_to_flat
+    from mla_tpu.train.loop import fit
+    from mla_tpu.__main__ import main
+
+    cfg = _tiny_cfg(ema_decay=0.9, checkpoint_every=4)
+    cfg = dataclasses.replace(cfg, name="ema_weights_test",
+                              workspace=str(tmp_path))
+    _cmod._CONFIGS["ema_weights_test"] = lambda: cfg
+    res = fit(cfg, log=False)
+    out = str(tmp_path / "ema.npz")
+    main(["weights", "--config", "ema_weights_test",
+          "--workspace", str(tmp_path), "--out", out, "--ema"])
+    flat = dict(np.load(out))
+    want = params_to_flat(jax.tree.map(np.asarray, dict(res.state.ema_params)),
+                          prefix="params/")
+    for k, v in want.items():
+        np.testing.assert_array_equal(flat[k], v)
+
+
 def test_fit_checkpoints_and_resumes_ema(tmp_path):
     from mla_tpu.train.loop import fit, resume
 
