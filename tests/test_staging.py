@@ -75,6 +75,21 @@ def test_grain_stream_adpcm4_learns(tmp_path):
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
 
 
+def test_dp8_matches_dp1_with_int16_staging(tmp_path):
+    """The wire-form batch is sharded over the data axis and decoded
+    inside the step on every shard — DP must still reproduce the DP=1
+    loss trajectory exactly (same decode, same psum)."""
+    def run(dp):
+        cfg = _cfg(tmp_path, "int16")
+        cfg = dataclasses.replace(
+            cfg, name=f"dp{dp}_int16",
+            train=dataclasses.replace(cfg.train, data_parallel=dp,
+                                      batch_size=8))
+        return np.array([h["loss"] for h in fit(cfg, log=False).history])
+
+    np.testing.assert_allclose(run(8), run(1), rtol=1e-5, atol=1e-6)
+
+
 def test_compressed_staging_rejects_feature_input(tmp_path):
     cfg = _cfg(tmp_path, "int16")
     cfg = dataclasses.replace(
