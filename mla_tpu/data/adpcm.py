@@ -250,11 +250,14 @@ def _decode_jnp(wire, n, n_pad, block):
 
     # TPU lowering note (measured on-chip): a per-sample jnp.take into the
     # 89-entry step table costs ~9 ns/sample as an XLA gather — 11.6 ms on
-    # a serving tick, eating the codec's transfer win. A one-hot matmul is
-    # the TPU-shaped lookup (compare + dot, exact: table values < 2^15 are
-    # f32-representable); the 8-entry index table has a closed form
+    # a serving tick, eating the codec's transfer win. The lookup is a
+    # one-hot SELECT-AND-SUM in int32 (compare + where + sum, pure VPU):
+    # an f32 one-hot @ table dot would hit XLA's default bf16 matmul
+    # precision on TPU and round table entries (bf16 has 8 mantissa bits;
+    # 29794 is not representable), silently breaking the encoder/decoder
+    # bit agreement. The 8-entry index table has a closed form
     # (m<4 -> -1, else 2m-6) and needs no lookup at all.
-    step_f = jnp.asarray(STEP_TABLE, jnp.float32)
+    step_t = jnp.asarray(STEP_TABLE, jnp.int32)
     iota89 = jnp.arange(89, dtype=jnp.int32)
     wire = jnp.asarray(wire).astype(jnp.uint8)
     lead = wire.shape[:-1]
@@ -277,8 +280,9 @@ def _decode_jnp(wire, n, n_pad, block):
 
     def one(carry, code):
         pred, index = carry
-        one_hot = (index[:, None] == iota89[None, :]).astype(jnp.float32)
-        step = (one_hot @ step_f).astype(jnp.int32)
+        step = jnp.sum(
+            jnp.where(index[:, None] == iota89[None, :], step_t[None, :], 0),
+            axis=1)
         delta = (step >> 3) + ((code >> 2) & 1) * step \
             + ((code >> 1) & 1) * (step >> 1) + (code & 1) * (step >> 2)
         pred = jnp.clip(pred + jnp.where(code & 8, -delta, delta),
