@@ -102,7 +102,12 @@ def decode_staged(x: jnp.ndarray, stage: str,
     """Device-side decode of a compressed waveform batch
     (DataConfig.staging_dtype wire form) -> float32 [-1,1]. Used inside
     the jitted train step for BOTH input paths: HBM-resident gathers and
-    host-streamed batches travel in wire form either way."""
+    host-streamed batches travel in wire form either way. A float32
+    input passes through regardless of ``stage`` — floats are never wire
+    form, so a caller feeding already-decoded audio (tests, direct step
+    use) must not be re-scaled."""
+    if x.dtype == jnp.float32:
+        return x
     if stage == "int16":
         return x.astype(jnp.float32) / 32768.0
     if stage == "uint8":
