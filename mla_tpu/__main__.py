@@ -257,13 +257,10 @@ def _load_variables(args, cfg, sample_wav_seconds: float = 2.0):
     if getattr(args, "checkpoint", "latest") != "random":
         try:
             from mla_tpu.train.loop import resume
-            from mla_tpu.train.state import eval_params
+            from mla_tpu.train.state import eval_params, variables_from_state
 
             state, _ = resume(cfg, args.workspace)
-            variables = {"params": eval_params(cfg, state)}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            return variables
+            return variables_from_state(state, eval_params(cfg, state))
         except FileNotFoundError:
             print("# no checkpoint found — using random weights (demo mode)",
                   file=sys.stderr)

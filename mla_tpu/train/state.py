@@ -197,6 +197,16 @@ def make_train_step(
     return step
 
 
+def variables_from_state(state: TrainState, params: Any = None) -> dict:
+    """Model-apply variables dict from a TrainState (``params`` overrides
+    the tree, e.g. the EMA shadow) — the one place the params/batch_stats
+    assembly idiom lives."""
+    variables = {"params": state.params if params is None else params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return variables
+
+
 def eval_params(cfg: Config, state: TrainState) -> Any:
     """The param tree eval/serving should read: the EMA shadow when
     enabled (train.ema_decay > 0 and train.ema_eval), else the online
@@ -214,9 +224,7 @@ def make_eval_step(cfg: Config, model: AudioTagger, input_kind: str):
     def step(state: TrainState, x: jnp.ndarray) -> jnp.ndarray:
         if input_kind == "waveform":
             x = _apply_frontend(cfg, x)
-        variables = {"params": eval_params(cfg, state)}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        variables = variables_from_state(state, eval_params(cfg, state))
         return model.apply(variables, x, train=False).astype(jnp.float32)
 
     return step
