@@ -343,9 +343,15 @@ def cmd_weights(args):
         merged = dict(tmpl)
         merged.update(used)
         tree = flat_to_params(merged)
+        imported = jax.tree.map(jnp.asarray, tree["params"])
         state = state.replace(
-            params=jax.tree.map(jnp.asarray, tree["params"]),
+            params=imported,
             batch_stats=jax.tree.map(jnp.asarray, tree.get("batch_stats", {})),
+            # seed the Polyak shadow from the IMPORTED weights — leaving it
+            # at the fresh random init would make EMA-enabled eval/serving
+            # silently predict from noise until the average washes out
+            ema_params=(jax.tree.map(jnp.asarray, imported)
+                        if state.ema_params is not None else None),
         )
         mgr = CheckpointManager(ckpt_dir, async_save=False)
         mgr.save(0, state, sampler_state={"imported_from": os.path.basename(args.load),

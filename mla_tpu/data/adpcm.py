@@ -87,14 +87,13 @@ def wire_bytes_per_sample(block: int = DEFAULT_BLOCK) -> float:
 
 
 def _as_int16_rows(x: np.ndarray) -> Tuple[np.ndarray, Tuple[int, ...]]:
-    """[..., n] float [-1,1] or int16 -> ([rows, n] int16, leading shape)."""
+    """[..., n] float [-1,1] or int16 -> ([rows, n] int16, leading shape);
+    quantization via the one shared audio_io.pcm16_quantize seam."""
+    from mla_tpu.data.audio_io import pcm16_quantize
+
     x = np.asarray(x)
     lead = x.shape[:-1]
-    x = x.reshape(-1, x.shape[-1])
-    if x.dtype != np.int16:
-        x = np.asarray(np.clip(x.astype(np.float64), -1.0, 1.0) * 32767.0,
-                       np.int16)
-    return x, lead
+    return pcm16_quantize(x).reshape(-1, x.shape[-1]), lead
 
 
 def _pad_blocks(x: np.ndarray, block: int) -> np.ndarray:

@@ -73,8 +73,21 @@ def load_wav_16k(path: str, target_sr: int = 16000) -> np.ndarray:
     return resample(x, sr, target_sr)
 
 
+def pcm16_quantize(x: np.ndarray) -> np.ndarray:
+    """float [-1,1] -> int16 PCM (int16 passes through), float32 math.
+    THE quantizer every wire path shares (serving, client SDK, training
+    feeds, the ADPCM codec): a single rounding seam keeps the
+    'bit-identical encode everywhere' claim true — f32-vs-f64 product
+    rounding can differ by one LSB on boundary values."""
+    x = np.asarray(x)
+    if x.dtype == np.int16:
+        return x
+    return np.asarray(
+        np.clip(np.asarray(x, np.float32), -1.0, 1.0) * 32767.0, np.int16)
+
+
 def write_wav(path: str, x: np.ndarray, sr: int = 16000):
-    _wavfile.write(path, sr, np.asarray(np.clip(x, -1, 1) * 32767, np.int16))
+    _wavfile.write(path, sr, pcm16_quantize(x))
 
 
 # --- mu-law wire codec (G.711-style, mu=255) ---------------------------------

@@ -55,11 +55,9 @@ class _WireEncoder:
 
     @staticmethod
     def _int16(x: np.ndarray) -> np.ndarray:
-        x = np.asarray(x)
-        if x.dtype == np.int16:
-            return x
-        return np.asarray(
-            np.clip(np.asarray(x, np.float32), -1, 1) * 32767.0, np.int16)
+        from mla_tpu.data.audio_io import pcm16_quantize
+
+        return pcm16_quantize(x)
 
     def encode(self, x: np.ndarray, final: bool = False) -> bytes:
         if self.wire == "float32":

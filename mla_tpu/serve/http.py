@@ -257,7 +257,15 @@ class _Handler(BaseHTTPRequestHandler):
             except ValueError as e:  # malformed wire body
                 self._error(400, str(e))
                 return
-            self._reply(200, {"fed_samples": int(len(samples)), "advanced": advanced})
+            ctype = self.headers.get("Content-Type", "")
+            fed = int(len(samples))
+            if ctype.startswith("audio/adpcm4"):
+                # the body was wire BYTES; report the samples they carry,
+                # consistent with every other body format and pending()
+                from mla_tpu.data.adpcm import SERVE_BLOCK, wire_block_bytes
+
+                fed = len(samples) // wire_block_bytes(SERVE_BLOCK) * SERVE_BLOCK
+            self._reply(200, {"fed_samples": fed, "advanced": advanced})
             return
         if m and m.group(2) == "flush":
             sid = int(m.group(1))

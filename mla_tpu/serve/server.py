@@ -245,7 +245,9 @@ class BatchedStreamingServer:
         elif samples.dtype == np.uint8:
             samples = mulaw_decode(samples)
         if self._buf_dtype == np.int16:
-            return np.asarray(np.clip(samples, -1.0, 1.0) * 32767.0, np.int16)
+            from mla_tpu.data.audio_io import pcm16_quantize
+
+            return pcm16_quantize(samples)
         if self._buf_dtype == np.uint8:
             return mulaw_encode(samples)
         return np.asarray(samples, np.float32)
@@ -264,12 +266,19 @@ class BatchedStreamingServer:
                 raise ValueError(
                     "adpcm4 wire feed must be uint8 in whole "
                     f"{a['wb']}-byte block units")
+            if len(self._rem[sid]):
+                # a sample feed left a sub-block remainder; appending wire
+                # blocks now would place that audio AFTER them in the
+                # stream — reject rather than silently reorder
+                raise ValueError(
+                    f"stream {sid} holds {len(self._rem[sid])} not-yet-"
+                    "encoded samples from a float/int16 feed; pad sample "
+                    "feeds to whole 64-sample blocks before switching to "
+                    "pre-encoded wire")
             return samples
-        if samples.dtype != np.int16:
-            samples = np.asarray(
-                np.clip(np.asarray(samples, np.float32), -1, 1) * 32767.0,
-                np.int16)
-        buf = np.concatenate([self._rem[sid], samples])
+        from mla_tpu.data.audio_io import pcm16_quantize
+
+        buf = np.concatenate([self._rem[sid], pcm16_quantize(samples)])
         nb = len(buf) // a["block"]
         self._rem[sid] = buf[nb * a["block"]:]
         if nb == 0:

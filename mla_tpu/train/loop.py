@@ -221,23 +221,30 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
     staged_x = None
     data_bytes = int(train_ds.x.nbytes) + int(train_ds.y.nbytes)
     if cfg.data.device_resident and not use_grain and stage != "float32":
-        # compress ONCE on host; the dataset lives in HBM in wire form and
-        # every batch is decoded on device right after the index gather
-        if stage == "uint8":
-            from mla_tpu.data.audio_io import mulaw_encode
+        # size the compressed form ANALYTICALLY first — a dataset whose
+        # wire form still exceeds the HBM budget must not pay a wasted
+        # whole-dataset host encode (it streams via _encode_feed instead)
+        from mla_tpu.data.adpcm import wire_length
 
-            staged_x = mulaw_encode(train_ds.x)
-        else:
-            xi16 = np.asarray(
-                np.clip(np.asarray(train_ds.x, np.float32), -1, 1) * 32767.0,
-                np.int16)
-            if stage == "int16":
-                staged_x = xi16
-            else:  # adpcm4
-                from mla_tpu.data.adpcm import adpcm4_encode
+        n_clip = int(train_ds.x.shape[1])
+        per_row = {"int16": 2 * n_clip, "uint8": n_clip,
+                   "adpcm4": wire_length(n_clip)}[stage]
+        data_bytes = per_row * int(train_ds.x.shape[0]) + int(train_ds.y.nbytes)
+        if data_bytes <= cfg.data.device_resident_max_bytes:
+            # compress ONCE on host; the dataset lives in HBM in wire form
+            # and every batch is decoded on device inside the train step
+            if stage == "uint8":
+                from mla_tpu.data.audio_io import mulaw_encode
 
-                staged_x = adpcm4_encode(xi16)
-        data_bytes = int(staged_x.nbytes) + int(train_ds.y.nbytes)
+                staged_x = mulaw_encode(train_ds.x)
+            else:
+                xi16 = pcm16_quantize(train_ds.x)
+                if stage == "int16":
+                    staged_x = xi16
+                else:  # adpcm4
+                    from mla_tpu.data.adpcm import adpcm4_encode
+
+                    staged_x = adpcm4_encode(xi16)
     use_device_data = (
         cfg.data.device_resident
         and not use_grain
@@ -255,8 +262,9 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
             from mla_tpu.data.audio_io import mulaw_encode
 
             return mulaw_encode(bx)
-        bi = np.asarray(
-            np.clip(np.asarray(bx, np.float32), -1, 1) * 32767.0, np.int16)
+        from mla_tpu.data.audio_io import pcm16_quantize
+
+        bi = pcm16_quantize(np.asarray(bx))
         if stage == "int16":
             return bi
         from mla_tpu.data.adpcm import adpcm4_encode
