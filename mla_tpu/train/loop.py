@@ -238,6 +238,8 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
 
                 staged_x = mulaw_encode(train_ds.x)
             else:
+                from mla_tpu.data.audio_io import pcm16_quantize
+
                 xi16 = pcm16_quantize(train_ds.x)
                 if stage == "int16":
                     staged_x = xi16
