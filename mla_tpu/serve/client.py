@@ -59,15 +59,25 @@ class _WireEncoder:
 
         return pcm16_quantize(x)
 
+    @staticmethod
+    def _float(x: np.ndarray) -> np.ndarray:
+        """float32 [-1,1] view of the input; int16 PCM is dequantized —
+        raw int16 magnitudes fed to a float wire would clip to full scale
+        (every sample >= 1 saturates) and tag garbage."""
+        x = np.asarray(x)
+        if x.dtype == np.int16:
+            return x.astype(np.float32) / 32768.0
+        return np.asarray(x, np.float32)
+
     def encode(self, x: np.ndarray, final: bool = False) -> bytes:
         if self.wire == "float32":
-            return np.asarray(x, np.float32).tobytes()
+            return self._float(x).tobytes()
         if self.wire == "int16":
             return self._int16(x).astype("<i2").tobytes()
         if self.wire == "mulaw":
             from mla_tpu.data.audio_io import mulaw_encode
 
-            return mulaw_encode(np.asarray(x, np.float32)).tobytes()
+            return mulaw_encode(self._float(x)).tobytes()
         from mla_tpu.data import adpcm
 
         buf = np.concatenate([self._rem, self._int16(x)])
@@ -89,9 +99,16 @@ class TagClient:
     (the service is request-serialized anyway)."""
 
     def __init__(self, base_url: str, timeout: float = 60.0):
+        if "//" not in base_url:  # "host:8000" parses host as the scheme
+            base_url = "http://" + base_url
         u = urlparse(base_url)
         if u.scheme not in ("http", ""):
             raise ValueError(f"only http:// is supported, got {base_url!r}")
+        if u.path not in ("", "/"):
+            raise ValueError(
+                f"base_url path {u.path!r} would be silently dropped — the "
+                "service mounts at /v1 on the host root (reverse-proxy "
+                "prefixes are not supported)")
         self.host = u.hostname or "127.0.0.1"
         self.port = u.port or 8000
         self.timeout = timeout
@@ -104,7 +121,14 @@ class TagClient:
             headers = {"Content-Type": ctype} if body is not None else {}
             conn.request(method, path, body=body, headers=headers)
             resp = conn.getresponse()
-            payload = json.loads(resp.read().decode())
+            raw = resp.read()
+            try:
+                payload = json.loads(raw.decode())
+            except (ValueError, UnicodeDecodeError):
+                # not the service's JSON (proxy error page, truncated
+                # body): surface the HTTP status, not a parse error
+                raise TagServiceError(
+                    resp.status, f"non-JSON response: {raw[:200]!r}")
             if resp.status != 200:
                 raise TagServiceError(resp.status,
                                       payload.get("error", str(payload)))

@@ -276,8 +276,13 @@ class BatchedStreamingServer:
                     "feeds to whole 64-sample blocks before switching to "
                     "pre-encoded wire")
             return samples
-        from mla_tpu.data.audio_io import pcm16_quantize
+        from mla_tpu.data.audio_io import mulaw_decode, pcm16_quantize
 
+        if samples.dtype == np.uint8:
+            # explicit wire=False with uint8: mu-law codes by the server
+            # convention (pcm16_quantize would clip every nonzero code to
+            # full scale) — expand, then re-quantize like any sample feed
+            samples = mulaw_decode(samples)
         buf = np.concatenate([self._rem[sid], pcm16_quantize(samples)])
         nb = len(buf) // a["block"]
         self._rem[sid] = buf[nb * a["block"]:]
@@ -287,9 +292,12 @@ class BatchedStreamingServer:
 
     def feed(self, sid: int, samples: np.ndarray,
              wire: Optional[bool] = None):
-        """``wire=True`` marks ``samples`` as already being this server's
-        wire format (adpcm4 block units / mu-law codes / PCM16); the
-        default infers it from the dtype matching the buffer dtype."""
+        """Append audio to a stream. ``wire`` matters only on adpcm4
+        servers: True marks ``samples`` as pre-encoded block-interleaved
+        wire bytes, False forces sample interpretation (uint8 = mu-law
+        codes, expanded then re-encoded), None infers — uint8 means wire
+        bytes. Other transfer dtypes always infer from the dtype (their
+        wire forms ARE sample arrays)."""
         self._check(sid)
         new = (self._coerce_adpcm(sid, samples, wire)
                if self._adpcm is not None else self._coerce(samples))

@@ -42,18 +42,19 @@ def bench_dtype(cfg, variables, transfer_dtype: str,
     sids = [srv.open() for _ in range(n_streams)]
     rng = np.random.default_rng(0)
     chunk = (rng.standard_normal(srv.chunk_samples) * 0.1).astype(np.float32)
+    from mla_tpu.data.audio_io import pcm16_quantize
+
     if transfer_dtype == "int16":
         # feed wire-native bytes, as the HTTP layer does (audio/L16 /
         # audio/basic / audio/adpcm4 bodies pass straight into the wire
         # buffers) — the bench measures the serving tier, not a host-side
         # transcode
-        chunk = np.asarray(np.clip(chunk, -1, 1) * 32767.0, np.int16)
+        chunk = pcm16_quantize(chunk)
     elif transfer_dtype == "adpcm4":
         from mla_tpu.data import adpcm
 
-        chunk = adpcm.adpcm4_encode(
-            np.asarray(np.clip(chunk, -1, 1) * 32767.0, np.int16),
-            block=adpcm.SERVE_BLOCK)
+        chunk = adpcm.adpcm4_encode(pcm16_quantize(chunk),
+                                    block=adpcm.SERVE_BLOCK)
     elif transfer_dtype == "uint8":
         from mla_tpu.data.audio_io import mulaw_encode
 

@@ -157,6 +157,47 @@ def test_server_adpcm4_matches_float32_scores():
     np.testing.assert_array_equal(wire_scores, got)
 
 
+def test_server_uint8_wire_false_is_mulaw():
+    """feed(uint8, wire=False) on an adpcm4 server means mu-law codes by
+    the server convention — quantizing the raw 0..255 codes would clip
+    every nonzero sample to full scale (found by review, reproduced)."""
+    import jax
+
+    from mla_tpu.config import Config, ModelConfig
+    from mla_tpu.data.audio_io import mulaw_encode
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops.frontend import waveform_to_patches
+    from mla_tpu.serve.server import BatchedStreamingServer
+
+    cfg = Config(
+        name="adpcm_mulaw_feed",
+        model=ModelConfig(variant="single_attention", trunk="cnn",
+                          n_classes=5, n_blocks=1, hidden_units=24,
+                          conv_channels=(4, 8), convs_per_stage=1,
+                          compute_dtype="float32"),
+    )
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(2)
+    probe = waveform_to_patches(
+        jnp.asarray(rng.standard_normal(32000).astype(np.float32))[None],
+        cfg.frontend)
+    variables = model.init(jax.random.key(0), probe)
+
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                 chunk_patches=2, transfer_dtype="adpcm4")
+    n = srv.chunk_samples
+    x = np.clip(0.3 * np.sin(2 * np.pi * 440 * np.arange(n) / 16000),
+                -1, 1).astype(np.float32)
+    a = srv.open()
+    srv.feed(a, x)
+    b = srv.open()
+    srv.feed(b, mulaw_encode(x), wire=False)
+    srv.drain()
+    sa, sb = srv.scores(a), srv.scores(b)
+    assert int(np.argmax(sa)) == int(np.argmax(sb))
+    assert np.max(np.abs(sa - sb)) < 0.05  # mu-law quantization noise only
+
+
 def test_wire_format_golden_frozen():
     """The wire layout is a cross-version CLIENT/SERVER contract (clients
     encode, servers route bytes, devices decode): the frozen golden pins

@@ -120,6 +120,33 @@ def test_tag_cli_verb(setup, tmp_path, capsys):
         srv.shutdown()
 
 
+def test_int16_waveform_input_every_wire(setup):
+    """tag() advertises int16 waveform input; the float32 and mulaw wires
+    must dequantize it (raw int16 magnitudes would clip to full scale and
+    tag garbage — found by review, reproduced)."""
+    cfg, variables, wav = setup
+    srv, c = _spawn(cfg, variables, "float32")
+    try:
+        from mla_tpu.data.audio_io import pcm16_quantize
+
+        wav_i16 = pcm16_quantize(wav)
+        ref = c.tag(wav, wire="float32")
+        for wire in ("float32", "int16", "mulaw"):
+            got = c.tag(wav_i16, wire=wire)
+            assert got[0][0] == ref[0][0], wire
+    finally:
+        srv.shutdown()
+
+
+def test_base_url_forms():
+    from mla_tpu.serve.client import TagClient
+
+    c = TagClient("127.0.0.1:9123")  # scheme-less form
+    assert (c.host, c.port) == ("127.0.0.1", 9123)
+    with pytest.raises(ValueError, match="path"):
+        TagClient("http://gw:80/tagger")  # prefix would be dropped
+
+
 def test_error_mapping(setup):
     cfg, variables, wav = setup
     srv, c = _spawn(cfg, variables, "adpcm4")
