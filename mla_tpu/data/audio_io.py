@@ -100,8 +100,14 @@ MULAW_MU = 255.0
 
 
 def mulaw_encode(x: np.ndarray) -> np.ndarray:
-    """float32 [-1, 1] -> uint8 mu-law code (mu=255)."""
-    x = np.clip(np.asarray(x, np.float32), -1.0, 1.0)
+    """float32 [-1, 1] -> uint8 mu-law code (mu=255).
+
+    Encodes in float64 so the codes are bit-identical to the native C++
+    encoder (which uses double throughout): a float32 log1p rounds a
+    handful of boundary values (~3 per million) to the adjacent code,
+    silently breaking the documented exact-wire contract between the
+    Python and native feeders (advisor finding, round 2)."""
+    x = np.clip(np.asarray(x, np.float64), -1.0, 1.0)
     y = np.sign(x) * np.log1p(MULAW_MU * np.abs(x)) / np.log1p(MULAW_MU)
     return np.asarray(np.round((y + 1.0) * 127.5), np.uint8)
 

@@ -12,6 +12,10 @@ API (JSON unless noted):
     POST   /v1/streams/<sid>/audio          raw f32 LE PCM (octet-stream)
                                             or a WAV file (audio/wav)
                                             -> {"fed_samples", "advanced"}
+        adpcm4 bodies (audio/adpcm4) should be whole 64-sample blocks
+        mid-stream; a final partial block may declare its true sample
+        count via an ``X-Samples: <n>`` header so edge padding is sliced
+        off when the server host-decodes the wire.
     POST   /v1/streams/<sid>/flush          -> {"flushed": bool}
     GET    /v1/streams/<sid>/scores?top_k=5 -> {"top_k": [[label, p], ...]}
     DELETE /v1/streams/<sid>                -> {"closed": true}
@@ -83,10 +87,17 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
 
 
 def _feed(st: "_TaggerState", sid: int, samples: np.ndarray,
-          content_type: str):
+          content_type: str, n_samples: Optional[int] = None):
     """Route decoded body samples into the server, reconciling the two
     uint8 body meanings (mu-law codes vs adpcm4 wire blocks) against the
-    server's own wire format."""
+    server's own wire format.
+
+    ``n_samples`` (the X-Samples request header) is the true sample count
+    an adpcm4 body carries. Without it, a final partial block's edge
+    padding (up to block-1 repeated samples) would be injected mid-stream
+    when the body is host-decoded for a non-adpcm4 server (advisor
+    finding, round 2); the SDK only pads at flush, but raw HTTP clients
+    may pad every chunk."""
     is_adpcm_body = content_type.startswith("audio/adpcm4")
     if st.server.transfer_dtype == "adpcm4":
         if is_adpcm_body:
@@ -101,7 +112,7 @@ def _feed(st: "_TaggerState", sid: int, samples: np.ndarray,
     if is_adpcm_body:  # adpcm4 body to a non-adpcm server: decode on host
         from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm4_decode
 
-        samples = adpcm4_decode(samples, block=SERVE_BLOCK)
+        samples = adpcm4_decode(samples, n=n_samples, block=SERVE_BLOCK)
     st.server.feed(sid, samples)
 
 
@@ -143,8 +154,25 @@ class _Handler(BaseHTTPRequestHandler):
     def _read_body(self) -> bytes:
         n = int(self.headers.get("Content-Length") or 0)
         if n > self.max_body_bytes:
+            # the body is never read on this path; drop the connection so
+            # the 413 stays correct even if protocol_version is ever bumped
+            # to HTTP/1.1 (an unread body would desync keep-alive)
+            self.close_connection = True
             raise _BodyTooLarge(n)
         return self.rfile.read(n) if n else b""
+
+    def _x_samples(self) -> Optional[int]:
+        """Optional X-Samples header: the true sample count of an adpcm4
+        body (so a final partial block's padding can be sliced off when
+        the body is host-decoded). None when absent or malformed."""
+        v = self.headers.get("X-Samples")
+        if v is None:
+            return None
+        try:
+            n = int(v)
+        except ValueError:
+            return None
+        return n if n >= 0 else None
 
     def do_GET(self):
         st = self.state
@@ -206,7 +234,8 @@ class _Handler(BaseHTTPRequestHandler):
                     return
                 try:
                     _feed(st, sid, samples,
-                          self.headers.get("Content-Type", ""))
+                          self.headers.get("Content-Type", ""),
+                          n_samples=self._x_samples())
                     st.server.drain()
                     st.server.flush(sid)
                     scores = st.server.scores(sid)
@@ -249,7 +278,8 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 with st.lock:
                     _feed(st, sid, samples,
-                          self.headers.get("Content-Type", ""))
+                          self.headers.get("Content-Type", ""),
+                          n_samples=self._x_samples())
                     advanced = st.server.drain()
             except KeyError as e:
                 self._error(404, str(e))
@@ -265,6 +295,13 @@ class _Handler(BaseHTTPRequestHandler):
                 from mla_tpu.data.adpcm import SERVE_BLOCK, wire_block_bytes
 
                 fed = len(samples) // wire_block_bytes(SERVE_BLOCK) * SERVE_BLOCK
+                xs = self._x_samples()
+                if (xs is not None and xs <= fed
+                        and st.server.transfer_dtype != "adpcm4"):
+                    # host-decode path sliced padding off with n=X-Samples;
+                    # on an adpcm4 server the wire is buffered whole, so
+                    # every block's samples really were fed
+                    fed = xs
             self._reply(200, {"fed_samples": fed, "advanced": advanced})
             return
         if m and m.group(2) == "flush":

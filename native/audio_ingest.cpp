@@ -50,7 +50,6 @@ std::vector<double> design_filter(long up, long down) {
   const double beta = 5.0;
   std::vector<double> h(n);
   const double i0b = bessel_i0(beta);
-  double sum = 0.0;
   for (long i = 0; i < n; ++i) {
     const double m = static_cast<double>(i) - half_len;
     const double sinc = (m == 0.0) ? 2.0 * f_c
@@ -58,7 +57,6 @@ std::vector<double> design_filter(long up, long down) {
     const double r = m / half_len;
     const double kaiser = bessel_i0(beta * std::sqrt(std::max(0.0, 1.0 - r * r))) / i0b;
     h[i] = sinc * kaiser;
-    sum += h[i] * (i % 1 == 0);
   }
   // normalize DC gain to `up` (resample_poly scales by up)
   double dc = 0.0;

@@ -182,6 +182,43 @@ def test_mulaw_body_decodes(served):
     _req(base, "DELETE", f"/v1/streams/{sid}")
 
 
+def test_adpcm4_partial_block_x_samples(served):
+    """An adpcm4 body whose final block is partial declares its true
+    sample count via X-Samples, so the host decode slices off the edge
+    padding instead of injecting up to 63 repeated samples mid-stream
+    (advisor finding, round 2). Scores must match feeding the exact-n
+    decoded waveform."""
+    from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm4_decode, adpcm4_encode
+
+    cfg, variables, wav, base = served
+    n = _samples_per_patches(cfg.frontend, 3) + 17  # NOT a block multiple
+    assert n % SERVE_BLOCK != 0
+    audio = wav[:n]
+    pad = (-n) % SERVE_BLOCK
+    padded = np.concatenate([audio, np.repeat(audio[-1], pad)]).astype(np.float32)
+    from mla_tpu.data.audio_io import pcm16_quantize
+
+    wire = adpcm4_encode(pcm16_quantize(padded)[None], block=SERVE_BLOCK)[0]
+
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    req = urllib.request.Request(base + f"/v1/streams/{sid}/audio",
+                                 data=wire.tobytes(), method="POST")
+    req.add_header("Content-Type", "audio/adpcm4")
+    req.add_header("X-Samples", str(n))
+    with urllib.request.urlopen(req, timeout=30) as r:
+        resp = json.loads(r.read().decode())
+    assert resp["fed_samples"] == n  # header-trimmed, not block-rounded
+    got = _req(base, "GET", f"/v1/streams/{sid}/scores?top_k=4")["top_k"]
+
+    single = StreamingTagger(cfg, variables, chunk_patches=3)
+    single.feed(adpcm4_decode(wire, n=n, block=SERVE_BLOCK))
+    want = dict(single.top_k(4))
+    names = labels_for(cfg.data.dataset, cfg.model.n_classes)
+    for name, p in got:
+        np.testing.assert_allclose(p, want[names.index(name)], rtol=1e-4, atol=1e-5)
+    _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
 def test_body_size_cap(served):
     """Oversized audio bodies get 413 (unbounded Content-Length reads would
     let one request OOM the serving host); the cap is per-request — long

@@ -6,6 +6,7 @@ loss bit-for-bit."""
 
 import json
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -60,11 +61,27 @@ def _launch_workers(mode: str = "step", extra_env: dict = None):
     return recs, errs
 
 
+_BIND_RACE_RE = re.compile(
+    r"already in use|failed to (?:bind|listen)|connection refused|"
+    r"deadline[ _]?exceeded|unavailable",
+    re.IGNORECASE,
+)
+
+
+def _bind_race(errs) -> bool:
+    """True only for the free-port handoff race the single retry exists
+    for: the coordinator losing its pre-probed port (bind failure) and the
+    resulting peer connect failures. Anything else — a real regression —
+    must NOT be retried away (advisor finding, round 2: a blanket retry
+    let an intermittent failure pass 75% of the time)."""
+    return all(_BIND_RACE_RE.search(e) for e in errs)
+
+
 @pytest.mark.slow
 def test_two_process_dp_step_matches_single_process():
-    # one retry: the free-port handoff has a small bind race under load
+    # one retry, bind-race only: the free-port handoff can lose the port
     recs, errs = _launch_workers()
-    if errs:
+    if errs and _bind_race(errs):
         recs, errs = _launch_workers()
     assert not errs, errs
     assert set(recs) == {0, 1}
@@ -107,7 +124,7 @@ def test_two_process_fit_matches_single_process(tmp_path):
     per-host eval feeding) proven end-to-end, not just one hand-built step."""
     env = {"MLA_WORKSPACE": str(tmp_path / "mp")}
     recs, errs = _launch_workers("fit", env)
-    if errs:
+    if errs and _bind_race(errs):
         recs, errs = _launch_workers("fit", env)
     assert not errs, errs
     assert set(recs) == {0, 1}
@@ -129,7 +146,7 @@ def test_two_process_fit_grain_pipeline_matches_single_process(tmp_path):
     put_local_batch — trajectory identical to a single-process grain run."""
     env = {"MLA_WORKSPACE": str(tmp_path / "mp")}
     recs, errs = _launch_workers("fit_grain", env)
-    if errs:
+    if errs and _bind_race(errs):
         recs, errs = _launch_workers("fit_grain", env)
     assert not errs, errs
     assert recs[0]["losses"] == recs[1]["losses"], recs
@@ -152,7 +169,7 @@ def test_two_process_checkpoint_resume(tmp_path):
 
     env = {"MLA_WORKSPACE": str(tmp_path / "mp")}
     recs, errs = _launch_workers("fit_resume", env)
-    if errs:
+    if errs and _bind_race(errs):
         env = {"MLA_WORKSPACE": str(tmp_path / "mp2")}
         recs, errs = _launch_workers("fit_resume", env)
     assert not errs, errs
@@ -180,7 +197,7 @@ def test_two_process_preemption_agreement(tmp_path):
     deadlock: one host saving while the other runs the next train step)."""
     env = {"MLA_WORKSPACE": str(tmp_path / "mp")}
     recs, errs = _launch_workers("fit_preempt", env)
-    if errs:
+    if errs and _bind_race(errs):
         env = {"MLA_WORKSPACE": str(tmp_path / "mp2")}
         recs, errs = _launch_workers("fit_preempt", env)
     assert not errs, errs

@@ -101,7 +101,10 @@ def test_native_mulaw_matches_python(rng):
     from mla_tpu.data import audio_io
 
     x = np.clip(rng.standard_normal(50000) * 0.5, -1, 1).astype(np.float32)
-    x[:4] = [0.0, 1.0, -1.0, 0.5]
+    # 0.327249 is a measured boundary value where a float32-log1p numpy
+    # encoder diverged from the double C++ path (25 vs 26) — both sides
+    # now quantize in float64, so it must agree (advisor finding, round 2)
+    x[:5] = [0.0, 1.0, -1.0, 0.5, 0.327249]
     enc_native = native.mulaw_encode(x)
     enc_py = audio_io.mulaw_encode(x)
     np.testing.assert_array_equal(enc_native, enc_py)
