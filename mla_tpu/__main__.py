@@ -7,6 +7,7 @@ prep, feature extraction, train, eval, inference).
     python -m mla_tpu embed    --wav=a.wav --out=emb.npy
     python -m mla_tpu train    --config=esc50_single_attention [--set k=v ...]
     python -m mla_tpu eval     --config=... [--per_class=out.csv]
+    python -m mla_tpu cv       --wav_dir=... --labels_csv=... (k-fold protocol)
     python -m mla_tpu infer    --config=... --wav=a.wav [--stream]
     python -m mla_tpu export   --config=... --out=model.mlax (AOT StableHLO)
     python -m mla_tpu serve    --config=... --port=8000 (HTTP streaming service)
@@ -417,17 +418,37 @@ def cmd_serve(args):
     from mla_tpu.serve.http import create_server
 
     variables = _load_variables(args, cfg)
+    mesh = None
+    if args.shard_streams:
+        from mla_tpu.parallel import mesh as pmesh
+
+        mesh = pmesh.make_mesh()
     srv = create_server(cfg, variables, port=args.port, host=args.host,
                         max_streams=args.max_streams,
                         chunk_patches=args.chunk_patches,
-                        transfer_dtype=args.transfer_dtype)
+                        transfer_dtype=args.transfer_dtype, mesh=mesh)
     host, port = srv.server_address[:2]
+    sharded = f", streams sharded over {mesh.shape}" if mesh is not None else ""
     print(f"serving {cfg.model.variant} on http://{host}:{port}/v1 "
-          f"(max_streams={args.max_streams})", flush=True)
+          f"(max_streams={args.max_streams}{sharded})", flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
         pass
+
+
+def cmd_cv(args):
+    """k-fold cross-validation: pack each fold rotation once, train fit()
+    per held-out fold, print mean±std of the final eval metrics (the
+    reference family's actual ESC-50/US8K evaluation protocol)."""
+    cfg = _load_cfg(args)
+    from mla_tpu.train.cv import cross_validate
+
+    folds = [int(f) for f in args.folds.split(",")] if args.folds else None
+    out = cross_validate(cfg, args.wav_dir, args.labels_csv,
+                         workspace=args.workspace or cfg.workspace,
+                         folds=folds, log=not args.quiet)
+    print(_jdump(out))
 
 
 def cmd_export(args):
@@ -572,6 +593,10 @@ def main(argv=None):
                     help="wire/device-transfer dtype; int16 halves host->device "
                          "bytes, uint8 (8-bit mu-law) quarters them, adpcm4 "
                          "(4-bit block ADPCM, decoded on device) is ~1/8 of f32")
+    ss.add_argument("--shard_streams", action="store_true",
+                    help="shard the per-tick stream axis over all devices "
+                         "(T11 at pod scale; max_streams must divide the "
+                         "device count)")
     ss.add_argument("--set", nargs="*")
     ss.set_defaults(fn=cmd_serve)
 
@@ -584,6 +609,18 @@ def main(argv=None):
                     help="upload encoding; adpcm4 is ~1/8 of float32 and "
                          "decodes on the serving device")
     sg.set_defaults(fn=cmd_tag)
+
+    sc = sub.add_parser("cv", help="k-fold cross-validation (ESC-50/US8K protocol)")
+    sc.add_argument("--config", default="esc50_single_attention")
+    sc.add_argument("--wav_dir", required=True, help="wav corpus root")
+    sc.add_argument("--labels_csv", required=True,
+                    help="metadata CSV with a 'fold' column")
+    sc.add_argument("--workspace", default=None)
+    sc.add_argument("--folds", default=None,
+                    help="comma-separated held-out folds to run (default: all)")
+    sc.add_argument("--quiet", action="store_true")
+    sc.add_argument("--set", nargs="*")
+    sc.set_defaults(fn=cmd_cv)
 
     sx = sub.add_parser("export", help="AOT-export waveform->probs to StableHLO")
     sx.add_argument("--config", default="streaming_inference")

