@@ -121,6 +121,12 @@ class DataConfig:
     dataset: str = "synthetic_esc50"  # synthetic_esc50|synthetic_us8k|synthetic_audioset|hdf5
     hdf5_path: Optional[str] = None
     eval_hdf5_path: Optional[str] = None
+    # Stream x from the HDF5 pack instead of loading it to RAM (T9 at
+    # full-AudioSet scale: ~640 GB of waveforms cannot load; labels stay
+    # in RAM for the balanced sampler's per-class tables). Train feeds
+    # read per batch (sorted-unique chunked reads) and still go through
+    # staging_dtype wire encoding; device residency is skipped.
+    out_of_core: bool = False
     # synthetic dataset sizing
     n_train_clips: int = 256
     n_eval_clips: int = 64

@@ -26,12 +26,11 @@ the configured staging_dtype).
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
 from mla_tpu.data import hdf5 as _h5
-from mla_tpu.data.synthetic import ArrayDataset
 
 
 class HDF5ColumnReader:
@@ -128,13 +127,13 @@ def generate_synthetic_pack(
     clip_seconds: float = 10.0,
     sample_rate: int = 16000,
     seed: int = 0,
-    rows_per_chunk: int = 256,
+    rows_per_write: int = 256,
     multi_label: bool = True,
 ) -> int:
     """Write a synthetic waveform pack INCREMENTALLY (never holding more
-    than ``rows_per_chunk`` clips in RAM) — how the bigger-than-RAM proof
+    than ``rows_per_write`` clips in RAM) — how the bigger-than-RAM proof
     pack is built. Returns total bytes on disk. Uncompressed, chunked by
-    ``rows_per_chunk`` rows (gzip would bottleneck this host's single
+    one row each (gzip would bottleneck this host's single
     core during reads)."""
     import h5py
 
@@ -143,14 +142,17 @@ def generate_synthetic_pack(
     n_samples = int(round(clip_seconds * sample_rate))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with h5py.File(path, "w") as f:
+        # one-ROW chunks: HDF5 reads whole chunks, and training access is
+        # row-random (balanced batches) — multi-row chunks would read
+        # a whole write-batch of rows from disk per sampled clip
         dx = f.create_dataset(
             "x", shape=(n_clips, n_samples), dtype=np.float32,
-            chunks=(min(rows_per_chunk, n_clips), n_samples),
+            chunks=(1, n_samples),
         )
         dy = f.create_dataset("y", shape=(n_clips, n_classes), dtype=bool)
         ids = []
-        for s in range(0, n_clips, rows_per_chunk):
-            e = min(s + rows_per_chunk, n_clips)
+        for s in range(0, n_clips, rows_per_write):
+            e = min(s + rows_per_write, n_clips)
             # seed per chunk so any slice regenerates independently
             xw, yw = synth_waveforms(
                 e - s, n_classes, clip_seconds, sample_rate,

@@ -116,6 +116,10 @@ def make_dataset(
         path = data_cfg.hdf5_path if split == "train" else data_cfg.eval_hdf5_path
         if path is None:
             raise ValueError(f"data.{'hdf5_path' if split == 'train' else 'eval_hdf5_path'} unset")
+        if data_cfg.out_of_core:
+            from mla_tpu.data.ooc import OutOfCoreDataset
+
+            return OutOfCoreDataset(path)
         x, y, ids = _h5.load_data(path)
         k = {2: "waveform", 3: "features", 4: "patches"}.get(x.ndim)
         if k is None:

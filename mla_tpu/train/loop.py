@@ -19,6 +19,7 @@ import jax
 import numpy as np
 
 from mla_tpu.config import Config
+from mla_tpu.data.ooc import take_rows
 from mla_tpu.data.sampler import BalancedSampler, SequentialSampler
 from mla_tpu.data.synthetic import ArrayDataset, make_dataset
 from mla_tpu.models.zoo import build_model
@@ -103,7 +104,7 @@ def evaluate(cfg: Config, model, state: TrainState, ds: ArrayDataset,
             probs = pmesh.fetch(eval_step(state, pmesh.shard_batch(x, mesh)))
             outs.append(probs[off : off + len(idx)])
         else:
-            x = ds.x[idx]
+            x = take_rows(ds, idx)
             pad = bs - len(idx)
             if pad:  # static batch shape for one compiled program
                 x = np.concatenate([x, np.repeat(x[-1:], pad, 0)])
@@ -219,8 +220,12 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         raise ValueError("compressed staging_dtype needs waveform input "
                          "(features are not [-1,1] PCM)")
     staged_x = None
+    # out-of-core sources stream by definition: the whole-dataset encode and
+    # HBM residency below would materialize x in RAM
+    is_ooc = not isinstance(train_ds.x, np.ndarray)
     data_bytes = int(train_ds.x.nbytes) + int(train_ds.y.nbytes)
-    if cfg.data.device_resident and not use_grain and stage != "float32":
+    if (cfg.data.device_resident and not use_grain and not is_ooc
+            and stage != "float32"):
         # size the compressed form ANALYTICALLY first — a dataset whose
         # wire form still exceeds the HBM budget must not pay a wasted
         # whole-dataset host encode (it streams via _encode_feed instead)
@@ -250,6 +255,7 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
     use_device_data = (
         cfg.data.device_resident
         and not use_grain
+        and not is_ooc
         and data_bytes <= cfg.data.device_resident_max_bytes
     )
     # per-batch host encoder for STREAMED feeds (grain / non-resident):
@@ -286,7 +292,8 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
         )
         # the HBM-resident eval path slices eagerly, which needs fully
         # addressable arrays — multi-host eval feeds per-host batches instead
-        if not multihost and eval_ds.x.nbytes <= cfg.data.device_resident_max_bytes:
+        if (not multihost and isinstance(eval_ds.x, np.ndarray)
+                and eval_ds.x.nbytes <= cfg.data.device_resident_max_bytes):
             eval_x_dev = jax.device_put(
                 jax.numpy.asarray(eval_ds.x), pmesh.replicated(mesh)
             )
@@ -418,7 +425,7 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
                     )
                 else:
                     x = pmesh.put_local_batch(
-                        _encode_feed(train_ds.x[idx[local_sl]]), mesh, bs)
+                        _encode_feed(take_rows(train_ds, idx[local_sl])), mesh, bs)
                     y = pmesh.put_local_batch(
                         np.asarray(train_ds.y[idx[local_sl]], np.float32), mesh, bs
                     )

@@ -27,12 +27,30 @@ import jax  # noqa: E402
 from mla_tpu.parallel.distributed import initialize, local_batch_slice  # noqa: E402
 
 
-def fit_config(pipeline: str = "numpy"):
+def fit_config(pipeline: str = "numpy", ooc_train: str = None,
+               ooc_eval: str = None):
     """Shared by the multi-host worker and the single-process reference.
     pipeline="grain" exercises the stateless host-sharded stream + the
-    per-step put_local_batch assembly (no device-resident gather)."""
+    per-step put_local_batch assembly (no device-resident gather).
+    ``ooc_train``/``ooc_eval`` switch to an on-disk HDF5 waveform pack
+    streamed out-of-core (every host reads its slice's rows from the same
+    shared file — the T9 scale story under multi-controller)."""
     from mla_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
 
+    if ooc_train:
+        return Config(
+            name="mp_fit_ooc",
+            model=ModelConfig(variant="multi_level_attention", trunk="cnn",
+                              n_classes=6, n_blocks=2, hidden_units=24,
+                              conv_channels=(4, 8), convs_per_stage=1,
+                              compute_dtype="float32"),
+            data=DataConfig(dataset="hdf5", hdf5_path=ooc_train,
+                            eval_hdf5_path=ooc_eval, out_of_core=True,
+                            pipeline=pipeline, clip_seconds=1.0),
+            train=TrainConfig(batch_size=16, num_steps=4, data_parallel=-1,
+                              seed=0, log_every=1, eval_every=4,
+                              checkpoint_every=0),
+        )
     return Config(
         name="mp_fit",
         model=ModelConfig(variant="multi_level_attention", trunk="none", n_classes=8,
@@ -43,12 +61,17 @@ def fit_config(pipeline: str = "numpy"):
     )
 
 
-def main_fit(pipeline: str = "numpy"):
+def main_fit(pipeline: str = "numpy", ooc: bool = False):
     started = initialize()
     assert started and jax.process_count() == 2, (started, jax.process_count())
     from mla_tpu.train.loop import fit
 
-    res = fit(fit_config(pipeline), workspace=os.environ["MLA_WORKSPACE"], log=False)
+    cfg = fit_config(
+        pipeline,
+        ooc_train=os.environ.get("MLA_OOC_TRAIN") if ooc else None,
+        ooc_eval=os.environ.get("MLA_OOC_EVAL") if ooc else None,
+    )
+    res = fit(cfg, workspace=os.environ["MLA_WORKSPACE"], log=False)
     print(json.dumps({
         "process": jax.process_index(),
         "losses": [h["loss"] for h in res.history],
@@ -170,6 +193,8 @@ if __name__ == "__main__":
         main_fit()
     elif mode == "fit_grain":
         main_fit("grain")
+    elif mode == "fit_grain_ooc":
+        main_fit("grain", ooc=True)
     elif mode == "fit_resume":
         main_fit_resume()
     elif mode == "fit_preempt":

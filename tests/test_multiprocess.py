@@ -160,6 +160,41 @@ def test_two_process_fit_grain_pipeline_matches_single_process(tmp_path):
 
 
 @pytest.mark.slow
+def test_two_process_fit_grain_ooc_matches_single_process(tmp_path):
+    """Multi-host fit() over the OUT-OF-CORE grain stream (round-2 VERDICT
+    next item 1): both hosts stream rows from the same on-disk HDF5 pack,
+    trajectory identical to a single-process out-of-core run."""
+    from mla_tpu.data.hdf5 import pack_hdf5
+    from mla_tpu.data.synthetic import synth_waveforms
+
+    x, y = synth_waveforms(48, 6, clip_seconds=1.0, multi_label=True, seed=0)
+    train = str(tmp_path / "train.h5")
+    pack_hdf5(train, x, y)
+    xe, ye = synth_waveforms(16, 6, clip_seconds=1.0, multi_label=True, seed=9)
+    ev = str(tmp_path / "eval.h5")
+    pack_hdf5(ev, xe, ye)
+
+    env = {"MLA_WORKSPACE": str(tmp_path / "mp"),
+           "MLA_OOC_TRAIN": train, "MLA_OOC_EVAL": ev}
+    recs, errs = _launch_workers("fit_grain_ooc", env)
+    if errs and _bind_race(errs):
+        recs, errs = _launch_workers("fit_grain_ooc", env)
+    assert not errs, errs
+    assert recs[0]["losses"] == recs[1]["losses"], recs
+
+    from multiprocess_worker import fit_config
+    from mla_tpu.train.loop import fit
+
+    ref = fit(fit_config("grain", ooc_train=train, ooc_eval=ev),
+              workspace=str(tmp_path / "sp"), log=False)
+    np.testing.assert_allclose(recs[0]["losses"],
+                               [h["loss"] for h in ref.history],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(recs[0]["mAP"], ref.eval_stats[-1]["mAP"],
+                               atol=1e-6)
+
+
+@pytest.mark.slow
 def test_two_process_checkpoint_resume(tmp_path):
     """Multi-host Orbax checkpoint + deterministic resume: both processes
     save/restore through the SAME checkpoint dir, and the resumed segment
