@@ -75,6 +75,7 @@ def make_train_iterator(
     start_index: int = 0,
     host_index: int = 0,
     host_count: int = 1,
+    read_buffer_batches: int = 4,
 ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
     """Infinite (x, y) batch iterator with balanced classes (T9).
 
@@ -119,7 +120,15 @@ def make_train_iterator(
         .map(lambda i: {"x": x_arr[i], "y": y_arr[i]})
         .batch(per_host)
     )
-    it = pipeline.to_iter_dataset()
+    # the elements reaching the iterator are whole BATCHES: grain's default
+    # ReadOptions (500-element buffer, 16 threads) would let the prefetcher
+    # race ~500 batches ahead of a device-bound consumer — measured 19 GB
+    # of host RSS against a 4 GB out-of-core pack. A few batches of
+    # readahead already hides disk latency; order (and thus the stream's
+    # determinism) is position-based and unaffected.
+    it = pipeline.to_iter_dataset(
+        grain.ReadOptions(num_threads=2,
+                          prefetch_buffer_size=max(1, read_buffer_batches)))
     if workers:
         it = it.mp_prefetch(grain.MultiprocessingOptions(num_workers=workers))
     for rec in it:

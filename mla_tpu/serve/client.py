@@ -178,6 +178,15 @@ class TagStream:
         body = self._enc.encode(np.asarray(samples).reshape(-1))
         if not body:
             return 0  # adpcm4 sub-block remainder: nothing to send yet
+        return self.feed_wire(body)
+
+    def feed_wire(self, body: bytes) -> int:
+        """Send already-encoded wire bytes in this stream's format (for
+        feeders that hold pre-encoded audio — a relay, a codec pipeline, a
+        benchmark: no client-side encode in the hot path). The body must
+        be whole wire units (4 B/sample float32, 2 int16, 1 mu-law; whole
+        64-sample blocks for adpcm4 — mixing feed() sub-block remainders
+        with feed_wire is rejected server-side rather than reordered)."""
         out = self._c._request(
             "POST", f"/v1/streams/{self.sid}/audio", body, self._ctype)
         return int(out.get("advanced", 0))

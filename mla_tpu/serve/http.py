@@ -3,9 +3,11 @@ service; the reference's C15 is a script-only ``inference`` call).
 
 Stdlib-only (http.server) so the serving tier adds zero dependencies; all
 device work stays in ``BatchedStreamingServer`` (one masked batched XLA
-program per tick, O(1) per-stream attention state). Requests are
-serialized with a lock — the device program is single-stream anyway, and
-batching happens across OPEN streams per tick, not across HTTP requests.
+program per tick, O(1) per-stream attention state). Concurrency shape
+(serve/ticker.py): handler threads only decode bodies and append to host
+buffers; a single tick thread batches every ready stream into one device
+tick, so N concurrent clients share uploads and overlap their HTTP
+routing with device compute.
 
 API (JSON unless noted):
     POST   /v1/streams                      -> {"sid": int}
@@ -32,7 +34,6 @@ from __future__ import annotations
 
 import json
 import re
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
@@ -87,10 +88,11 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
 
 
 def _feed(st: "_TaggerState", sid: int, samples: np.ndarray,
-          content_type: str, n_samples: Optional[int] = None):
-    """Route decoded body samples into the server, reconciling the two
-    uint8 body meanings (mu-law codes vs adpcm4 wire blocks) against the
-    server's own wire format.
+          content_type: str, n_samples: Optional[int] = None) -> int:
+    """Route decoded body samples into the server (via its tick loop),
+    reconciling the two uint8 body meanings (mu-law codes vs adpcm4 wire
+    blocks) against the server's own wire format. Returns the number of
+    chunks the feed completed (folded into device state before return).
 
     ``n_samples`` (the X-Samples request header) is the true sample count
     an adpcm4 body carries. Without it, a final partial block's edge
@@ -101,33 +103,40 @@ def _feed(st: "_TaggerState", sid: int, samples: np.ndarray,
     is_adpcm_body = content_type.startswith("audio/adpcm4")
     if st.server.transfer_dtype == "adpcm4":
         if is_adpcm_body:
-            st.server.feed(sid, samples, wire=True)
-            return
+            return st.ticker.feed(sid, samples, wire=True)
         if samples.dtype == np.uint8:  # audio/basic: expand mu-law on host
             from mla_tpu.data.audio_io import mulaw_decode
 
             samples = mulaw_decode(samples)
-        st.server.feed(sid, samples, wire=False)
-        return
+        return st.ticker.feed(sid, samples, wire=False)
     if is_adpcm_body:  # adpcm4 body to a non-adpcm server: decode on host
         from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm4_decode
 
         samples = adpcm4_decode(samples, n=n_samples, block=SERVE_BLOCK)
-    st.server.feed(sid, samples)
+    return st.ticker.feed(sid, samples)
 
 
 class _TaggerState:
-    """Shared state behind the handler: the device server + a lock."""
+    """Shared state behind the handler: the device server + its tick loop.
+
+    Handler threads never run device code — they buffer/encode through
+    ``ticker`` (serve/ticker.py) and one dedicated thread batches every
+    ready stream into a single masked device tick, so concurrent clients
+    overlap their host routing with device compute instead of
+    serializing end-to-end (round-2 VERDICT weak item 1 / next item 2)."""
 
     def __init__(self, cfg: Config, variables: Dict, max_streams: int,
-                 chunk_patches: int, transfer_dtype: str, mesh=None):
+                 chunk_patches: int, transfer_dtype: str, mesh=None,
+                 batch_grace: float = 0.005):
+        from mla_tpu.serve.ticker import TickLoop
+
         self.cfg = cfg
         self.server = BatchedStreamingServer(
             cfg, variables, max_streams=max_streams, chunk_patches=chunk_patches,
             transfer_dtype=transfer_dtype, mesh=mesh,
         )
+        self.ticker = TickLoop(self.server, batch_grace=batch_grace)
         self.labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
-        self.lock = threading.Lock()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -177,8 +186,7 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         st = self.state
         if self.path.startswith("/v1/healthz"):
-            with st.lock:
-                open_n = sum(b is not None for b in st.server._bufs)
+            open_n = st.ticker.open_streams()
             self._reply(200, {"ok": True, "open_streams": open_n,
                               "max_streams": st.server.S,
                               "variant": st.cfg.model.variant,
@@ -190,8 +198,7 @@ class _Handler(BaseHTTPRequestHandler):
             sid = int(m.group(1))
             top_k = self._top_k_param()
             try:
-                with st.lock:
-                    scores = st.server.scores(sid)
+                scores = st.ticker.scores(sid)
             except (KeyError, RuntimeError) as e:
                 self._error(409 if isinstance(e, RuntimeError) else 404, str(e))
                 return
@@ -226,35 +233,32 @@ class _Handler(BaseHTTPRequestHandler):
             except ValueError as e:
                 self._error(400, str(e))
                 return
-            with st.lock:
-                try:
-                    sid = st.server.open()
-                except RuntimeError as e:
-                    self._error(503, str(e))
-                    return
-                try:
-                    _feed(st, sid, samples,
-                          self.headers.get("Content-Type", ""),
-                          n_samples=self._x_samples())
-                    st.server.drain()
-                    st.server.flush(sid)
-                    scores = st.server.scores(sid)
-                except RuntimeError as e:
-                    self._error(422, f"clip unprocessable: {e}")
-                    return
-                except ValueError as e:  # malformed wire body
-                    self._error(400, str(e))
-                    return
-                finally:
-                    st.server.close(sid)
+            try:
+                sid = st.ticker.open()
+            except RuntimeError as e:
+                self._error(503, str(e))
+                return
+            try:
+                _feed(st, sid, samples,
+                      self.headers.get("Content-Type", ""),
+                      n_samples=self._x_samples())
+                st.ticker.flush(sid)  # folds whole chunks + the tail
+                scores = st.ticker.scores(sid)
+            except RuntimeError as e:
+                self._error(422, f"clip unprocessable: {e}")
+                return
+            except ValueError as e:  # malformed wire body
+                self._error(400, str(e))
+                return
+            finally:
+                st.ticker.close(sid)
             order = np.argsort(-scores)[: self._top_k_param()]
             self._reply(200, {"top_k": [[st.labels[i], float(scores[i])]
                                         for i in order]})
             return
         if self.path == "/v1/streams":
             try:
-                with st.lock:
-                    sid = st.server.open()
+                sid = st.ticker.open()
             except RuntimeError as e:
                 self._error(503, str(e))
                 return
@@ -276,11 +280,9 @@ class _Handler(BaseHTTPRequestHandler):
                 self._error(400, str(e))
                 return
             try:
-                with st.lock:
-                    _feed(st, sid, samples,
-                          self.headers.get("Content-Type", ""),
-                          n_samples=self._x_samples())
-                    advanced = st.server.drain()
+                advanced = _feed(st, sid, samples,
+                                 self.headers.get("Content-Type", ""),
+                                 n_samples=self._x_samples())
             except KeyError as e:
                 self._error(404, str(e))
                 return
@@ -307,8 +309,7 @@ class _Handler(BaseHTTPRequestHandler):
         if m and m.group(2) == "flush":
             sid = int(m.group(1))
             try:
-                with st.lock:
-                    flushed = st.server.flush(sid)
+                flushed = st.ticker.flush(sid)
             except KeyError as e:
                 self._error(404, str(e))
                 return
@@ -321,14 +322,25 @@ class _Handler(BaseHTTPRequestHandler):
         if m and m.group(2) is None:
             sid = int(m.group(1))
             try:
-                with self.state.lock:
-                    self.state.server.close(sid)
+                self.state.ticker.close(sid)
             except KeyError as e:
                 self._error(404, str(e))
                 return
             self._reply(200, {"closed": True})
             return
         self._error(404, f"no route {self.path}")
+
+
+class _TaggerHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that also stops the device tick thread when the
+    service shuts down (otherwise every test-created server would leave a
+    condition-waiting thread behind)."""
+
+    state: _TaggerState  # set by create_server
+
+    def server_close(self):
+        super().server_close()
+        self.state.ticker.stop()
 
 
 def create_server(
@@ -340,6 +352,7 @@ def create_server(
     chunk_patches: int = 5,
     transfer_dtype: str = "int16",
     mesh=None,
+    batch_grace: float = 0.005,
 ) -> ThreadingHTTPServer:
     """Build the HTTP server (not yet serving; call .serve_forever()).
     transfer_dtype="int16" (default) ships PCM16 to the device and
@@ -353,8 +366,12 @@ def create_server(
     ``mesh`` shards the STREAM axis of every tick over the mesh's "data"
     axis (streams are independent — zero cross-device collectives);
     max_streams must divide by the axis size. CLI: ``serve
-    --shard_streams``."""
+    --shard_streams``. ``batch_grace``: how long the tick thread waits
+    for more streams to fill a chunk before dispatching (serve/ticker.py);
+    request handling never runs device code — it overlaps with ticks."""
     state = _TaggerState(cfg, variables, max_streams, chunk_patches,
-                         transfer_dtype, mesh=mesh)
+                         transfer_dtype, mesh=mesh, batch_grace=batch_grace)
     handler = type("Handler", (_Handler,), {"state": state})
-    return ThreadingHTTPServer((host, port), handler)
+    srv = _TaggerHTTPServer((host, port), handler)
+    srv.state = state
+    return srv

@@ -329,20 +329,41 @@ class BatchedStreamingServer:
         return np.full((self.S, self.chunk_samples), self._pad_value,
                        self._buf_dtype)
 
-    def tick(self) -> int:
-        """Process one chunk for every stream that has one ready; returns the
-        number of streams advanced (0 = nothing ready, no device call)."""
+    def chunks_ready(self, sid: int) -> int:
+        """How many tick()s the stream's buffer can currently supply (0 for
+        closed slots). hop < chunk when windows overlap, so each tick
+        consumes hop units while needing a full chunk buffered."""
+        b = self._bufs[sid] if 0 <= sid < self.S else None
+        if b is None:
+            return 0
+        cw, hw = self._chunk_hop_units()
+        return 0 if len(b) < cw else (len(b) - cw) // hw + 1
+
+    def gather_ready(self):
+        """The BUFFER half of tick(): slice one chunk from every ready
+        stream and advance those buffers. Returns (wav, active) or None.
+        Split out so a concurrent front (serve.ticker) can do this under
+        its buffer lock while the device dispatch happens outside it."""
         cw, hw = self._chunk_hop_units()
         active = np.array(
             [b is not None and len(b) >= cw for b in self._bufs]
         )
         if not active.any():
-            return 0
+            return None
         wav = self._blank_tile()
         for sid in range(self.S):
             if active[sid]:
                 wav[sid] = self._bufs[sid][:cw]
                 self._bufs[sid] = self._bufs[sid][hw:]
+        return wav, active
+
+    def tick(self) -> int:
+        """Process one chunk for every stream that has one ready; returns the
+        number of streams advanced (0 = nothing ready, no device call)."""
+        g = self.gather_ready()
+        if g is None:
+            return 0
+        wav, active = g
         n_valid = np.full(self.S, self.chunk_patches, np.int32)
         self._dispatch(wav, active, n_valid)
         self._fed |= active
