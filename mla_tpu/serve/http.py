@@ -11,9 +11,14 @@ routing with device compute.
 
 API (JSON unless noted):
     POST   /v1/streams                      -> {"sid": int}
-    POST   /v1/streams/<sid>/audio          raw f32 LE PCM (octet-stream)
+    POST   /v1/streams/<sid>/audio[?sync=0] raw f32 LE PCM (octet-stream)
                                             or a WAV file (audio/wav)
                                             -> {"fed_samples", "advanced"}
+        default: the reply returns after the completed chunks are folded
+        into device state ("advanced" counts folds). ?sync=0 replies as
+        soon as the audio is buffered ("advanced" counts chunks made
+        ready) so the client can pipeline uploads; backpressure beyond a
+        small backlog, and scores/flush always drain first.
         adpcm4 bodies (audio/adpcm4) should be whole 64-sample blocks
         mid-stream; a final partial block may declare its true sample
         count via an ``X-Samples: <n>`` header so edge padding is sliced
@@ -88,11 +93,14 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
 
 
 def _feed(st: "_TaggerState", sid: int, samples: np.ndarray,
-          content_type: str, n_samples: Optional[int] = None) -> int:
+          content_type: str, n_samples: Optional[int] = None,
+          sync: bool = True) -> int:
     """Route decoded body samples into the server (via its tick loop),
     reconciling the two uint8 body meanings (mu-law codes vs adpcm4 wire
     blocks) against the server's own wire format. Returns the number of
-    chunks the feed completed (folded into device state before return).
+    chunks the feed completed — folded into device state before return
+    when ``sync`` (the default); made ready when the client asked for a
+    pipelined feed (``?sync=0``, bounded by server-side backpressure).
 
     ``n_samples`` (the X-Samples request header) is the true sample count
     an adpcm4 body carries. Without it, a final partial block's edge
@@ -103,17 +111,17 @@ def _feed(st: "_TaggerState", sid: int, samples: np.ndarray,
     is_adpcm_body = content_type.startswith("audio/adpcm4")
     if st.server.transfer_dtype == "adpcm4":
         if is_adpcm_body:
-            return st.ticker.feed(sid, samples, wire=True)
+            return st.ticker.feed(sid, samples, wire=True, sync=sync)
         if samples.dtype == np.uint8:  # audio/basic: expand mu-law on host
             from mla_tpu.data.audio_io import mulaw_decode
 
             samples = mulaw_decode(samples)
-        return st.ticker.feed(sid, samples, wire=False)
+        return st.ticker.feed(sid, samples, wire=False, sync=sync)
     if is_adpcm_body:  # adpcm4 body to a non-adpcm server: decode on host
         from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm4_decode
 
         samples = adpcm4_decode(samples, n=n_samples, block=SERVE_BLOCK)
-    return st.ticker.feed(sid, samples)
+    return st.ticker.feed(sid, samples, sync=sync)
 
 
 class _TaggerState:
@@ -141,6 +149,16 @@ class _TaggerState:
 
 class _Handler(BaseHTTPRequestHandler):
     state: _TaggerState  # set by create_server on the subclass
+
+    # keep-alive: a streaming client posts many small bodies per second;
+    # per-request TCP setup + a fresh handler thread per connection cost
+    # more than an adpcm4 tick (measured 5x serving throughput on the
+    # wire-native path). Every reply carries Content-Length, oversized
+    # bodies set close_connection before the 413 (see _read_body), so
+    # HTTP/1.1 persistence is safe. Dead connections are reaped by the
+    # socket timeout below (handler threads are daemons regardless).
+    protocol_version = "HTTP/1.1"
+    timeout = 120
 
     # silence the default per-request stderr lines (service logs go to the
     # caller's logging setup, not the socket handler)
@@ -170,6 +188,13 @@ class _Handler(BaseHTTPRequestHandler):
             raise _BodyTooLarge(n)
         return self.rfile.read(n) if n else b""
 
+    def _sync_param(self) -> bool:
+        """``?sync=0`` on an audio POST asks for a pipelined feed: the
+        reply returns once the audio is buffered (chunks made ready in
+        ``advanced``) instead of after the device fold — clients overlap
+        their next upload with ticks; scores/flush still drain first."""
+        return not ("?" in self.path and "sync=0" in self.path.split("?", 1)[1])
+
     def _x_samples(self) -> Optional[int]:
         """Optional X-Samples header: the true sample count of an adpcm4
         body (so a final partial block's padding can be sliced off when
@@ -188,6 +213,7 @@ class _Handler(BaseHTTPRequestHandler):
         if self.path.startswith("/v1/healthz"):
             open_n = st.ticker.open_streams()
             self._reply(200, {"ok": True, "open_streams": open_n,
+                              "backlog": st.ticker.backlog(),
                               "max_streams": st.server.S,
                               "variant": st.cfg.model.variant,
                               "sample_rate": st.cfg.frontend.sample_rate,
@@ -282,7 +308,8 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 advanced = _feed(st, sid, samples,
                                  self.headers.get("Content-Type", ""),
-                                 n_samples=self._x_samples())
+                                 n_samples=self._x_samples(),
+                                 sync=self._sync_param())
             except KeyError as e:
                 self._error(404, str(e))
                 return

@@ -91,19 +91,34 @@ class TickLoop:
 
     # --- data path -------------------------------------------------------
     def feed(self, sid: int, samples: np.ndarray,
-             wire: Optional[bool] = None) -> int:
-        """Append audio; block until every chunk this feed completed has
-        been folded into device state. Returns that chunk count (the HTTP
-        ``advanced`` field). Encoding happens under ``cond`` — host-bound
-        work on a 1-core host serializes anyway, and the adpcm encoder's
-        per-stream remainder needs the buffer lock."""
+             wire: Optional[bool] = None, sync: bool = True,
+             max_backlog: int = 8) -> int:
+        """Append audio. ``sync=True`` (default): block until every chunk
+        this feed completed has been folded into device state — a
+        scores() right after the feed reflects the audio, and the return
+        value (the HTTP ``advanced`` field) counts folded chunks.
+        ``sync=False``: return as soon as the audio is buffered (returns
+        the chunks made READY), so a client pipelines its next upload
+        while the device ticks; backpressure kicks in only beyond
+        ``max_backlog`` buffered chunks. scores()/flush() always wait for
+        the stream to drain, so final results are identical either way.
+        Encoding happens under ``cond`` — host-bound work on a 1-core
+        host serializes anyway, and the adpcm encoder's per-stream
+        remainder needs the buffer lock."""
         with self.cond:
             self.srv.feed(sid, samples, wire=wire)
             n = self.srv.chunks_ready(sid)
             if n:
                 self.cond.notify_all()
-        if n:
-            self._wait_drained(sid)
+        if sync:
+            if n:
+                self._wait_drained(sid)
+        elif n > max_backlog:
+            with self.cond:
+                while (0 <= sid < self.srv.S
+                       and self.srv._bufs[sid] is not None
+                       and self.srv.chunks_ready(sid) > max_backlog):
+                    self.cond.wait()
         return n
 
     def pending(self, sid: int) -> int:
@@ -113,6 +128,14 @@ class TickLoop:
     def open_streams(self) -> int:
         with self.cond:
             return sum(b is not None for b in self.srv._bufs)
+
+    def backlog(self) -> int:
+        """Chunks buffered but not yet folded, across all streams (+1
+        while a tick is mid-flight) — 0 means device state reflects every
+        fed chunk. Exposed via /v1/healthz for pipelined-feed clients."""
+        with self.cond:
+            return (sum(self.srv.chunks_ready(s) for s in range(self.srv.S))
+                    + (1 if self._dispatching else 0))
 
     def _wait_drained(self, sid: int):
         """Wait until the stream has no full chunk buffered AND no tick is

@@ -95,7 +95,7 @@ def bench_dtype(cfg, variables, transfer_dtype: str,
 
 
 def bench_http(cfg, variables, transfer_dtype: str,
-               n_streams: int = N_STREAMS) -> dict:
+               n_streams: int = N_STREAMS, sync: bool = True) -> dict:
     """The DEPLOYABLE endpoint's capacity (round-2 VERDICT next item 2):
     N real concurrent TagClient streams over live HTTP sockets against
     create_server(), same wire format end-to-end. Bodies are pre-encoded
@@ -120,7 +120,7 @@ def bench_http(cfg, variables, transfer_dtype: str,
         sps = _samples_per_patches(cfg.frontend, CHUNK_PATCHES)
         chunk = (rng.standard_normal(sps) * 0.1).astype(np.float32)
         body = _WireEncoder(wire).encode(chunk)
-        streams = [client.stream(wire) for _ in range(n_streams)]
+        streams = [client.stream(wire, sync=sync) for _ in range(n_streams)]
         audio_s_per_round = n_streams * CHUNK_PATCHES * (
             cfg.frontend.example_hop_frames * cfg.frontend.hop_length
             / cfg.frontend.sample_rate
@@ -154,6 +154,8 @@ def bench_http(cfg, variables, transfer_dtype: str,
                 barrier.wait()   # workers done feeding (state folded per feed)
             except threading.BrokenBarrierError:
                 raise (errs[0] if errs else RuntimeError("bench barrier broken"))
+            while not sync and client.health().get("backlog", 0):
+                time.sleep(0.002)  # pipelined feeds: wait out the backlog
             return streams[0].scores(top_k=1)  # host fetch = the only sync
 
         burst()  # compile + warm
@@ -173,7 +175,7 @@ def bench_http(cfg, variables, transfer_dtype: str,
         med = float(np.median(times))
         row = {
             "transfer_dtype": transfer_dtype,
-            "mode": "http",
+            "mode": "http" if sync else "http-async",
             "n_streams": n_streams,
             "audio_seconds_per_s": TICKS_PER_REPEAT * audio_s_per_round / med,
             "rel_spread": float((max(times) - min(times)) / med),
@@ -200,6 +202,8 @@ def main():
                     help="also drive N concurrent TagClient streams over "
                          "live HTTP and report the ratio vs direct drive")
     ap.add_argument("--http-only", action="store_true")
+    ap.add_argument("--async-feeds", action="store_true",
+                    help="HTTP clients use pipelined feeds (?sync=0)")
     args = ap.parse_args()
     dtypes = args.wire.split(",")
     n_streams = args.streams
@@ -216,7 +220,8 @@ def main():
             direct = bench_dtype(cfg, variables, td, n_streams)
             rows.append(direct)
         if args.http or args.http_only:
-            h = bench_http(cfg, variables, td, n_streams)
+            h = bench_http(cfg, variables, td, n_streams,
+                           sync=not args.async_feeds)
             if direct is not None:
                 h["http_vs_direct"] = round(
                     h["audio_seconds_per_s"] / direct["audio_seconds_per_s"], 3)

@@ -306,3 +306,29 @@ def test_one_shot_tag_endpoint(served, tmp_path):
         assert len(r["top_k"]) == 5
     h = _req(base, "GET", "/v1/healthz")
     assert h["open_streams"] == 0
+
+
+def test_async_feed_stream_matches_sync(served):
+    """?sync=0 feeds (pipelined uploads) produce the same final scores as
+    the default fold-synchronous stream; the healthz backlog gauge drains
+    to 0."""
+    from mla_tpu.serve.client import TagClient
+
+    cfg, variables, wav, base = served
+    n = _samples_per_patches(cfg.frontend, 6)
+    audio = wav[:n]
+    c = TagClient(base)
+    try:
+        with c.stream(wire="float32", sync=False) as s:
+            for off in range(0, len(audio), 30000):
+                s.feed(audio[off: off + 30000])
+            got = s.scores(top_k=4)
+        assert c.health()["backlog"] == 0
+        with c.stream(wire="float32") as s2:
+            s2.feed(audio)
+            want = s2.scores(top_k=4)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want],
+                                   rtol=1e-6, atol=1e-7)
+    finally:
+        c.close()

@@ -193,3 +193,27 @@ def test_open_reset_not_lost_to_inflight_tick(setup):
         assert not errs, errs
     finally:
         loop.stop()
+
+
+def test_async_feeds_match_serial_and_backpressure(setup):
+    """sync=False feeds return on buffering (pipelined uploads) but
+    scores still reflect every fed chunk; backpressure bounds the
+    backlog instead of letting a fast client buffer without limit."""
+    cfg, variables, wav = setup
+    n1 = _samples_per_patches(cfg.frontend, 3)
+    audio = wav[: n1 * 4]
+    loop = TickLoop(BatchedStreamingServer(
+        cfg, variables, max_streams=2, chunk_patches=3), batch_grace=0.0)
+    try:
+        sid = loop.open()
+        for s in range(0, len(audio), n1):
+            loop.feed(sid, audio[s: s + n1], sync=False, max_backlog=2)
+            with loop.cond:
+                assert loop.srv.chunks_ready(sid) <= 3  # backlog+in-append
+        np.testing.assert_allclose(
+            loop.scores(sid),  # waits for the drain
+            _serial_scores(cfg, variables, audio),
+            rtol=1e-5, atol=1e-6)
+        assert loop.backlog() == 0
+    finally:
+        loop.stop()
