@@ -46,7 +46,8 @@ peaks: 37.7 TFLOPS f32-DEFAULT GEMM, 19.0 TFLOPS f32-HIGHEST, ~221 GB/s
 HBM; see docs/RESULTS.md): this v2 kernel is GEMM-bound at ~7 ms/256
 clips with ~7 ms of un-hideable residue-view materialization on top
 (Mosaic rejects the in-kernel row-merge reshape that would make framing
-free — re-probed this round, still rejected), total 14.0 ms. XLA's
+free — re-probed 2026-08-17 via scripts/probe_mosaic_reshape.py, still
+rejected), total 14.0 ms. XLA's
 implicit-im2col GEMM fuses framing into the DFT operand read at ZERO copy
 cost and runs at ~56% of the HIGHEST peak end-to-end: 8.9 ms with the
 same exact bin-trim (ops.frontend.trimmed_spectral_bases). On hardware
