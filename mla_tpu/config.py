@@ -119,6 +119,8 @@ class DataConfig:
     """Dataset acquisition / packing / sampling (reference C1, C2, C9)."""
 
     dataset: str = "synthetic_esc50"  # synthetic_esc50|synthetic_us8k|synthetic_audioset|hdf5
+    # one pack, a comma-separated list, or a glob ("packs/train_*.h5") —
+    # sharded packs concatenate (AudioSet bal_train + unbal_train, C2)
     hdf5_path: Optional[str] = None
     eval_hdf5_path: Optional[str] = None
     # Stream x from the HDF5 pack instead of loading it to RAM (T9 at

@@ -87,16 +87,77 @@ class HDF5ColumnReader:
         return self._post(self._dataset()[idx])
 
 
-class OutOfCoreDataset:
-    """ArrayDataset-shaped triple whose x streams from disk."""
+class MultiColumnReader:
+    """Several packs' columns concatenated along rows (the AudioSet
+    convention ships sharded packs, e.g. bal_train + unbal_train — C2's
+    ``load_many`` without loading anything). Same lazy/picklable contract
+    as HDF5ColumnReader; indices are split per file with searchsorted, so
+    an increasing batch stays one sorted read per touched file."""
 
-    def __init__(self, path: str):
-        self.x = HDF5ColumnReader(path, "x")
+    def __init__(self, paths, key: str = "x"):
+        if not paths:
+            raise ValueError("MultiColumnReader needs at least one pack")
+        self.readers = [HDF5ColumnReader(p, key) for p in paths]
+        tails = {r.shape[1:] for r in self.readers}
+        if len(tails) != 1:
+            raise ValueError(f"packs disagree on row shape: {sorted(tails)}")
+        rows = [r.shape[0] for r in self.readers]
+        self._offsets = np.cumsum([0] + rows)
+        self.shape: Tuple[int, ...] = (int(self._offsets[-1]),) + self.readers[0].shape[1:]
+        self.dtype = np.dtype(np.float32)
+
+    def __reduce__(self):
+        return (MultiColumnReader,
+                ([r.path for r in self.readers], self.readers[0].key))
+
+    @property
+    def ndim(self) -> int:
+        return len(self.shape)
+
+    @property
+    def nbytes(self) -> int:
+        return int(np.prod(self.shape)) * 4
+
+    def __len__(self) -> int:
+        return self.shape[0]
+
+    def __getitem__(self, idx) -> np.ndarray:
+        if isinstance(idx, slice):  # e.g. the train loop's shape probe x[:bs]
+            idx = np.arange(*idx.indices(len(self)), dtype=np.int64)
+        elif np.isscalar(idx) or getattr(idx, "ndim", None) == 0:
+            f = int(np.searchsorted(self._offsets, int(idx), "right")) - 1
+            return self.readers[f][int(idx) - int(self._offsets[f])]
+        idx = np.asarray(idx, np.int64)
+        out = []
+        for f, r in enumerate(self.readers):
+            lo, hi = self._offsets[f], self._offsets[f + 1]
+            m = (idx >= lo) & (idx < hi)
+            if m.any():
+                out.append(r[idx[m] - lo])  # still increasing within file
+        return np.concatenate(out) if out else np.zeros(
+            (0,) + self.shape[1:], np.float32)
+
+
+class OutOfCoreDataset:
+    """ArrayDataset-shaped triple whose x streams from disk. ``path`` may
+    be one pack or a list of packs (rows concatenated in order)."""
+
+    def __init__(self, path):
+        paths = [path] if isinstance(path, (str, os.PathLike)) else list(path)
+        self.x = (HDF5ColumnReader(paths[0], "x") if len(paths) == 1
+                  else MultiColumnReader(paths, "x"))
         import h5py
 
-        with h5py.File(path, "r") as f:
-            self.y = _h5.bool_to_float32(f["y"][...])
-            self.ids = f["video_id_list"][...] if "video_id_list" in f else None
+        ys, ids = [], []
+        for p in paths:
+            with h5py.File(p, "r") as f:
+                ys.append(_h5.bool_to_float32(f["y"][...]))
+                ids.append(f["video_id_list"][...]
+                           if "video_id_list" in f else None)
+        self.y = np.concatenate(ys) if len(ys) > 1 else ys[0]
+        self.ids = (np.concatenate(ids)
+                    if len(ids) > 1 and all(i is not None for i in ids)
+                    else ids[0])
         k = {2: "waveform", 3: "features", 4: "patches"}.get(self.x.ndim)
         if k is None:
             raise ValueError(f"unrecognized packed feature rank {self.x.ndim}")

@@ -97,6 +97,24 @@ def synth_features(
 _DATASET_CLASSES = {"synthetic_esc50": 50, "synthetic_us8k": 10, "synthetic_audioset": 527}
 
 
+def _hdf5_paths(path: str):
+    """``hdf5_path`` accepts one pack, a comma-separated list, or a glob
+    pattern (the AudioSet convention is sharded packs, e.g. bal_train +
+    unbal_train — reference C2 ``load_many``); rows concatenate in list /
+    sorted-glob order for both the in-RAM and out-of-core readers."""
+    if "," in path:
+        paths = [p.strip() for p in path.split(",") if p.strip()]
+    elif any(ch in path for ch in "*?["):
+        import glob
+
+        paths = sorted(glob.glob(path))
+        if not paths:
+            raise FileNotFoundError(f"hdf5_path glob matched nothing: {path}")
+    else:
+        paths = [path]
+    return paths
+
+
 def make_dataset(
     data_cfg: DataConfig,
     n_classes: int,
@@ -116,11 +134,13 @@ def make_dataset(
         path = data_cfg.hdf5_path if split == "train" else data_cfg.eval_hdf5_path
         if path is None:
             raise ValueError(f"data.{'hdf5_path' if split == 'train' else 'eval_hdf5_path'} unset")
+        paths = _hdf5_paths(path)
         if data_cfg.out_of_core:
             from mla_tpu.data.ooc import OutOfCoreDataset
 
-            return OutOfCoreDataset(path)
-        x, y, ids = _h5.load_data(path)
+            return OutOfCoreDataset(paths[0] if len(paths) == 1 else paths)
+        x, y, ids = (_h5.load_data(paths[0]) if len(paths) == 1
+                     else _h5.load_many(paths))
         k = {2: "waveform", 3: "features", 4: "patches"}.get(x.ndim)
         if k is None:
             raise ValueError(f"unrecognized packed feature rank {x.ndim}")

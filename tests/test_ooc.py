@@ -137,3 +137,58 @@ def test_generate_synthetic_pack_streams_to_disk(tmp_path):
     xw, _ = synth_waveforms(24, 5, 0.5, multi_label=True, seed=1 + 16)
     np.testing.assert_allclose(ds.x[16], xw[0])
     assert ds.y.sum() >= 40  # every clip labeled
+
+
+def test_multi_file_reader_and_dataset(tmp_path):
+    """Sharded packs (C2 load_many, out-of-core): a 2-file OutOfCoreDataset
+    equals the single concatenated pack for scalar reads, increasing-array
+    reads, random takes, and pickling across a worker boundary."""
+    from mla_tpu.data.ooc import MultiColumnReader
+
+    xa, ya = synth_waveforms(20, 6, clip_seconds=0.5, multi_label=True, seed=1)
+    xb, yb = synth_waveforms(12, 6, clip_seconds=0.5, multi_label=True, seed=2)
+    pa, pb = str(tmp_path / "a.h5"), str(tmp_path / "b.h5")
+    pack_hdf5(pa, xa, ya)
+    pack_hdf5(pb, xb, yb)
+    x = np.concatenate([xa, xb])
+
+    r = MultiColumnReader([pa, pb])
+    assert r.shape == x.shape and len(r) == 32
+    np.testing.assert_allclose(r[5], x[5])
+    np.testing.assert_allclose(r[25], x[25])  # second file
+    np.testing.assert_allclose(r[np.array([3, 18, 19, 20, 31])],
+                               x[[3, 18, 19, 20, 31]])
+    r2 = pickle.loads(pickle.dumps(r))
+    np.testing.assert_allclose(r2[21], x[21])
+
+    ds = OutOfCoreDataset([pa, pb])
+    assert ds.y.shape == (32, 6) and len(ds.ids) == 32
+    idx = np.array([30, 2, 30, 19, 0])
+    np.testing.assert_allclose(ds.take(idx), x[idx])
+
+
+def test_make_dataset_multi_pack_paths(tmp_path):
+    """hdf5_path accepts comma lists and globs for BOTH readers; the
+    in-RAM and out-of-core datasets agree row for row."""
+    from mla_tpu.config import DataConfig
+    from mla_tpu.data.synthetic import make_dataset
+
+    xa, ya = synth_waveforms(10, 4, clip_seconds=0.5, multi_label=True, seed=3)
+    xb, yb = synth_waveforms(6, 4, clip_seconds=0.5, multi_label=True, seed=4)
+    pack_hdf5(str(tmp_path / "shard_0.h5"), xa, ya)
+    pack_hdf5(str(tmp_path / "shard_1.h5"), xb, yb)
+    x = np.concatenate([xa, xb])
+
+    comma = f"{tmp_path}/shard_0.h5, {tmp_path}/shard_1.h5"
+    globp = f"{tmp_path}/shard_*.h5"
+    for spec in (comma, globp):
+        ram = make_dataset(DataConfig(dataset="hdf5", hdf5_path=spec), 4)
+        assert ram.x.shape == (16, 8000)
+        np.testing.assert_allclose(ram.x, x)
+        ooc = make_dataset(
+            DataConfig(dataset="hdf5", hdf5_path=spec, out_of_core=True), 4)
+        np.testing.assert_allclose(take_rows(ooc, np.arange(16)), ram.x)
+        np.testing.assert_allclose(ooc.y, ram.y)
+    with pytest.raises(FileNotFoundError):
+        make_dataset(DataConfig(dataset="hdf5",
+                                hdf5_path=f"{tmp_path}/nope_*.h5"), 4)
