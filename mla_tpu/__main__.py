@@ -423,14 +423,23 @@ def cmd_serve(args):
         from mla_tpu.parallel import mesh as pmesh
 
         mesh = pmesh.make_mesh()
-    srv = create_server(cfg, variables, port=args.port, host=args.host,
-                        max_streams=args.max_streams,
-                        chunk_patches=args.chunk_patches,
-                        transfer_dtype=args.transfer_dtype, mesh=mesh)
+    if args.native:
+        from mla_tpu.serve.native_front import create_native_server
+
+        srv = create_native_server(
+            cfg, variables, port=args.port, host=args.host,
+            max_streams=args.max_streams, chunk_patches=args.chunk_patches,
+            transfer_dtype=args.transfer_dtype, mesh=mesh)
+    else:
+        srv = create_server(cfg, variables, port=args.port, host=args.host,
+                            max_streams=args.max_streams,
+                            chunk_patches=args.chunk_patches,
+                            transfer_dtype=args.transfer_dtype, mesh=mesh)
     host, port = srv.server_address[:2]
     sharded = f", streams sharded over {mesh.shape}" if mesh is not None else ""
+    front = "native C++ front" if args.native else "stdlib front"
     print(f"serving {cfg.model.variant} on http://{host}:{port}/v1 "
-          f"(max_streams={args.max_streams}{sharded})", flush=True)
+          f"({front}, max_streams={args.max_streams}{sharded})", flush=True)
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -597,6 +606,11 @@ def main(argv=None):
                     help="shard the per-tick stream axis over all devices "
                          "(T11 at pod scale; max_streams must divide the "
                          "device count)")
+    ss.add_argument("--native", action="store_true",
+                    help="serve through the C++ ingest front (native/"
+                         "serve_front.cpp): HTTP parsing, stream buffers, "
+                         "and backpressure run GIL-free; Python only runs "
+                         "device ticks and rare control requests")
     ss.add_argument("--set", nargs="*")
     ss.set_defaults(fn=cmd_serve)
 
