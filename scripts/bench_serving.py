@@ -95,15 +95,22 @@ def bench_dtype(cfg, variables, transfer_dtype: str,
 
 
 def bench_http(cfg, variables, transfer_dtype: str,
-               n_streams: int = N_STREAMS, sync: bool = True) -> dict:
+               n_streams: int = N_STREAMS, sync: bool = True,
+               native: bool = False) -> dict:
     """The DEPLOYABLE endpoint's capacity (round-2 VERDICT next item 2):
     N real concurrent TagClient streams over live HTTP sockets against
     create_server(), same wire format end-to-end. Bodies are pre-encoded
     once and posted via feed_wire() so the number measures the service
     (sockets + routing + batched ticks), not a client-side transcode —
-    mirroring how bench_dtype feeds the device server wire-native."""
+    mirroring how bench_dtype feeds the device server wire-native.
+    native=True swaps in the C++ ingest front (serve/native_front.py) —
+    same API, hot path GIL-free."""
     from mla_tpu.serve.client import TagClient, _WireEncoder
-    from mla_tpu.serve.http import create_server
+
+    if native:
+        from mla_tpu.serve.native_front import create_native_server as create_server
+    else:
+        from mla_tpu.serve.http import create_server
 
     srv = create_server(cfg, variables, port=0, max_streams=n_streams,
                         chunk_patches=CHUNK_PATCHES,
@@ -175,7 +182,8 @@ def bench_http(cfg, variables, transfer_dtype: str,
         med = float(np.median(times))
         row = {
             "transfer_dtype": transfer_dtype,
-            "mode": "http" if sync else "http-async",
+            "mode": ("http-native" if native else "http")
+                    + ("" if sync else "-async"),
             "n_streams": n_streams,
             "audio_seconds_per_s": TICKS_PER_REPEAT * audio_s_per_round / med,
             "rel_spread": float((max(times) - min(times)) / med),
@@ -204,6 +212,9 @@ def main():
     ap.add_argument("--http-only", action="store_true")
     ap.add_argument("--async-feeds", action="store_true",
                     help="HTTP clients use pipelined feeds (?sync=0)")
+    ap.add_argument("--native", action="store_true",
+                    help="HTTP modes serve through the C++ ingest front "
+                         "(native/serve_front.cpp) instead of the stdlib tier")
     args = ap.parse_args()
     dtypes = args.wire.split(",")
     n_streams = args.streams
@@ -221,7 +232,7 @@ def main():
             rows.append(direct)
         if args.http or args.http_only:
             h = bench_http(cfg, variables, td, n_streams,
-                           sync=not args.async_feeds)
+                           sync=not args.async_feeds, native=args.native)
             if direct is not None:
                 h["http_vs_direct"] = round(
                     h["audio_seconds_per_s"] / direct["audio_seconds_per_s"], 3)
