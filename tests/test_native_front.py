@@ -359,3 +359,94 @@ def test_adpcm_x_samples_partial_block(served_adpcm):
     s = _req(base, "GET", f"/v1/streams/{sid}/scores")
     assert np.isfinite([p for _, p in s["top_k"]]).all()
     _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
+@pytest.mark.parametrize("transfer_dtype,wire",
+                         [("int16", "int16"), ("uint8", "mulaw")])
+def test_compressed_wire_fast_paths(transfer_dtype, wire):
+    """int16 and mu-law wire bodies ride the C++ fast path on matching
+    servers (audio/L16, audio/basic); scores track the tagger on the
+    codec-roundtripped audio."""
+    from mla_tpu.serve.client import TagClient, _WireEncoder
+    from mla_tpu.data.audio_io import mulaw_decode, mulaw_encode
+
+    cfg = _small_cfg()
+    wav = (np.random.default_rng(3).standard_normal(16000 * 8) * 0.1
+           ).astype(np.float32)
+    variables = _init(cfg, wav)
+    srv = native_front.create_native_server(
+        cfg, variables, port=0, max_streams=2, chunk_patches=3,
+        transfer_dtype=transfer_dtype)
+    base = "http://%s:%d" % srv.server_address
+    try:
+        n = _samples_per_patches(cfg.frontend, 6)
+        audio = wav[:n]
+        c = TagClient(base)
+        with c.stream(wire=wire) as s:
+            s.feed(audio)
+            got = dict(s.scores(top_k=4))
+        c.close()
+
+        single = StreamingTagger(cfg, variables, chunk_patches=3)
+        if wire == "mulaw":
+            single.feed(mulaw_decode(mulaw_encode(audio)))
+            tol = dict(atol=5e-3, rtol=5e-3)
+        else:
+            pcm = np.round(np.clip(audio, -1, 1) * 32767.0)
+            single.feed((pcm / 32768.0).astype(np.float32))
+            tol = dict(atol=1e-4, rtol=1e-3)
+        names = labels_for(cfg.data.dataset, cfg.model.n_classes)
+        want = {names[i]: p for i, p in single.top_k(4)}
+        for name, prob in got.items():
+            np.testing.assert_allclose(prob, want[name], **tol)
+    finally:
+        srv.server_close()
+
+
+def test_shard_streams_native_matches_unsharded(served):
+    """create_native_server(mesh=...) — `serve --native --shard_streams` —
+    serves identical scores with the tick's stream axis sharded over the
+    8-device CPU mesh."""
+    from mla_tpu.parallel import mesh as pmesh
+
+    cfg, variables, wav, base = served
+    srv = native_front.create_native_server(
+        cfg, variables, port=0, max_streams=8, chunk_patches=3,
+        transfer_dtype="float32", mesh=pmesh.make_mesh())
+    sbase = "http://%s:%d" % srv.server_address
+    try:
+        n = _samples_per_patches(cfg.frontend, 3)
+        audio = wav[:n]
+        sid = _req(sbase, "POST", "/v1/streams")["sid"]
+        r = _req(sbase, "POST", f"/v1/streams/{sid}/audio", audio.tobytes())
+        assert r["advanced"] == 1
+        got = _req(sbase, "GET", f"/v1/streams/{sid}/scores?top_k=4")["top_k"]
+        want = _req(base, "POST", "/v1/tag?top_k=4", audio.tobytes())["top_k"]
+        assert [g[0] for g in got] == [w[0] for w in want]
+        np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want],
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        srv.server_close()
+
+
+def test_slot_reuse_cycles(served):
+    """Open/feed/close cycles reuse slots without leaking C++ buffer state:
+    a reopened slot starts clean (no stale bytes shift the new stream's
+    audio)."""
+    cfg, variables, wav, base = served
+    n = _samples_per_patches(cfg.frontend, 3)
+    tail = 4444  # leave a partial buffer behind on close
+    ref = None
+    for cycle in range(3):
+        sid = _req(base, "POST", "/v1/streams")["sid"]
+        _req(base, "POST", f"/v1/streams/{sid}/audio",
+             wav[: n + tail].tobytes())
+        got = _req(base, "GET", f"/v1/streams/{sid}/scores?top_k=5")["top_k"]
+        _req(base, "DELETE", f"/v1/streams/{sid}")
+        if ref is None:
+            ref = got
+        else:
+            assert [g[0] for g in got] == [r[0] for r in ref]
+            np.testing.assert_allclose([g[1] for g in got],
+                                       [r[1] for r in ref],
+                                       rtol=1e-6, atol=1e-7)
