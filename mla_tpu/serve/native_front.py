@@ -105,6 +105,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.sf_port.restype = ctypes.c_int
     lib.sf_port.argtypes = [ctypes.c_void_p]
     lib.sf_stop.argtypes = [ctypes.c_void_p]
+    lib.sf_quiesced.restype = ctypes.c_int
+    lib.sf_quiesced.argtypes = [ctypes.c_void_p]
     lib.sf_free.argtypes = [ctypes.c_void_p]
     lib.sf_stream_open.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.sf_stream_close.argtypes = [ctypes.c_void_p, ctypes.c_int]
@@ -240,7 +242,12 @@ class NativeTagServer:
             self._lib.sf_stop(self._h)  # wakes every blocking ctypes call
             for t in self._threads:
                 t.join(timeout=10)
-            self._lib.sf_free(self._h)
+            # sf_free deletes the Server's mutex/cvars; only safe once every
+            # detached C++ connection thread has exited (sf_stop waits up to
+            # 12 s — a wedged client past that means we LEAK the handle
+            # rather than free under a live waiter)
+            if self._lib.sf_quiesced(self._h):
+                self._lib.sf_free(self._h)
             self._h = None
 
     # --- device tick thread ----------------------------------------------

@@ -140,7 +140,8 @@ struct Server {
 bool send_all(int fd, const char* p, size_t n) {
   while (n) {
     ssize_t w = ::send(fd, p, n, MSG_NOSIGNAL);
-    if (w <= 0) return false;
+    if (w < 0 && errno == EINTR) continue;
+    if (w <= 0) return false;  // incl. SO_SNDTIMEO expiry (stuck client)
     p += w;
     n -= (size_t)w;
   }
@@ -287,13 +288,15 @@ bool read_body(Server* sv, int fd, std::string& inbuf, Request& rq) {
 
 // ------------------------------------------------------------- routing
 
-// "/v1/streams/<sid>/audio" -> sid (or -1), sets *leaf to the suffix
+// "/v1/streams/<sid>/audio" -> sid (or -1), sets *leaf to the suffix.
+// The digit run is bounded: an overflowing sid must 404, not wrap into
+// another client's live slot (atoi("4294967298") == 2 on this libc).
 int parse_stream_path(const std::string& path, std::string* leaf) {
   const char prefix[] = "/v1/streams/";
   if (path.compare(0, sizeof(prefix) - 1, prefix) != 0) return -1;
   size_t p = sizeof(prefix) - 1, q = p;
   while (q < path.size() && isdigit((unsigned char)path[q])) ++q;
-  if (q == p) return -1;
+  if (q == p || q - p > 9) return -1;  // >9 digits: no valid slot
   *leaf = q < path.size() ? path.substr(q) : "";
   if (!leaf->empty() && (*leaf)[0] != '/') return -1;
   if (!leaf->empty()) *leaf = leaf->substr(1);
@@ -458,6 +461,10 @@ void handle_python(Server* sv, int fd, Request& rq) {
 void connection_loop(Server* sv, int fd) {
   struct timeval tv = {1, 0};  // recv wakes 1/s to observe stop
   setsockopt(fd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
+  // bound sends too: a client that stops reading must not pin this
+  // thread in send() past teardown (sf_stop waits for live_conns)
+  struct timeval stv = {5, 0};
+  setsockopt(fd, SOL_SOCKET, SO_SNDTIMEO, &stv, sizeof(stv));
   int one = 1;
   setsockopt(fd, IPPROTO_TCP, TCP_NODELAY, &one, sizeof(one));
   std::string inbuf;
@@ -471,6 +478,15 @@ void connection_loop(Server* sv, int fd) {
     if (rq.chunked) {
       respond(fd, 501, jerr("chunked transfer encoding not supported"), true);
       break;
+    }
+    if (rq.method != "GET" && rq.method != "POST" && rq.method != "DELETE") {
+      // HEAD/OPTIONS/PUT/... must NOT fall through to the Python queue,
+      // where the 3-way method code would alias them to DELETE and a
+      // monitoring probe could close a live stream
+      respond(fd, 501, jerr("method " + rq.method + " not supported"),
+              !rq.keep_alive);
+      if (!rq.keep_alive) break;
+      continue;
     }
     if (rq.content_length > sv->max_body) {
       // body never read: the connection is desynced, so close it
@@ -571,8 +587,16 @@ void* sf_start(const char* host, int port, int max_streams, int wire_fmt,
   sockaddr_in addr{};
   addr.sin_family = AF_INET;
   addr.sin_port = htons((uint16_t)port);
-  if (!host || !*host || inet_pton(AF_INET, host, &addr.sin_addr) != 1)
+  if (!host || !*host || strcmp(host, "localhost") == 0) {
     addr.sin_addr.s_addr = htonl(INADDR_LOOPBACK);
+  } else if (inet_pton(AF_INET, host, &addr.sin_addr) != 1) {
+    // unresolvable host must FAIL, not silently bind loopback while the
+    // CLI prints the requested name (IPv4 dotted-quad or "localhost"
+    // only; the Python caller raises on the nullptr)
+    ::close(sv->listen_fd);
+    delete sv;
+    return nullptr;
+  }
   if (::bind(sv->listen_fd, (sockaddr*)&addr, sizeof(addr)) < 0 ||
       ::listen(sv->listen_fd, 128) < 0) {
     ::close(sv->listen_fd);
@@ -606,9 +630,15 @@ void sf_stop(void* h) {
   sv->accept_thread.join();
   ::close(sv->listen_fd);
   // connection threads are detached; wait for them to observe stop (their
-  // recv timeout is 1 s) so the Server's cvars outlive every waiter
-  for (int i = 0; i < 500 && sv->live_conns.load() > 0; ++i)
+  // recv timeout is 1 s, send timeout 5 s) so the Server's cvars outlive
+  // every waiter. 12 s covers a thread that just entered a stuck send.
+  for (int i = 0; i < 1200 && sv->live_conns.load() > 0; ++i)
     std::this_thread::sleep_for(std::chrono::milliseconds(10));
+}
+
+// Did every detached connection thread exit? (sf_free is only safe then.)
+int sf_quiesced(void* h) {
+  return static_cast<Server*>(h)->live_conns.load() == 0 ? 1 : 0;
 }
 
 void sf_free(void* h) { delete static_cast<Server*>(h); }
@@ -722,7 +752,10 @@ int sf_wait_gather(void* h, uint8_t* wav, uint8_t* active, int timeout_ms) {
       active[s] = 0;
     }
   }
-  sv->tick_inflight = true;
+  // n_active can be 0 here: the chunk that woke us may have vanished
+  // during a cv wait (stream closed, flush drained it). Python skips
+  // sf_tick_done for 0, so only mark a tick in flight when one will run.
+  if (n_active > 0) sv->tick_inflight = true;
   return n_active;
 }
 

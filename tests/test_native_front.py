@@ -261,6 +261,42 @@ def test_error_paths(served):
     assert e.value.code == 404
 
 
+def test_unknown_method_501(served):
+    """HEAD/PUT/... must 501 in C++, not reach the Python queue where the
+    3-way method code would alias them to DELETE (a monitoring probe must
+    never close a live stream)."""
+    _, _, _, base = served
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    for method in ("PUT", "HEAD", "PATCH"):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(base, method, f"/v1/streams/{sid}")
+        assert e.value.code == 501, method
+    # the stream survived the probes
+    assert _req(base, "POST", f"/v1/streams/{sid}/audio", b"\0" * 4)
+    _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
+def test_sid_digit_overflow_404(served):
+    """A >9-digit sid must 404, not wrap (atoi overflow) into a live slot."""
+    _, _, _, base = served
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    overflowed = str(4294967296 + sid)  # would alias sid if atoi wrapped
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(base, "POST", f"/v1/streams/{overflowed}/audio", b"\0" * 4)
+    assert e.value.code == 404
+    _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
+def test_unresolvable_host_raises(served):
+    """sf_start must fail on a non-IPv4 host, not silently bind loopback
+    while the CLI prints the requested name."""
+    cfg, variables, _, _ = served
+    with pytest.raises(OSError):
+        native_front.NativeTagServer(
+            cfg, variables, port=0, host="no.such.host.example",
+            max_streams=1)
+
+
 def test_body_size_cap(served):
     _, _, _, base = served
     sid = _req(base, "POST", "/v1/streams")["sid"]
