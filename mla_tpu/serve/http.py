@@ -143,6 +143,9 @@ class _TaggerState:
             cfg, variables, max_streams=max_streams, chunk_patches=chunk_patches,
             transfer_dtype=transfer_dtype, mesh=mesh,
         )
+        # compile the tick/finalize programs before traffic: a cold first
+        # tick at high max_streams can outlast the 120 s sync-feed wait
+        self.server.warmup()
         self.ticker = TickLoop(self.server, batch_grace=batch_grace)
         self.labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
 

@@ -184,6 +184,10 @@ class NativeTagServer:
             cfg, variables, max_streams=max_streams,
             chunk_patches=chunk_patches, transfer_dtype=transfer_dtype,
             mesh=mesh)
+        # compile tick/finalize BEFORE the C++ front starts accepting:
+        # a cold first tick at high max_streams can outlast the C++
+        # sync-feed wait (SYNC_TIMEOUT_S) and 503 every early client
+        self.srv.warmup()
         self.labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
         srv = self.srv
         self._itemsize = np.dtype(srv._buf_dtype).itemsize

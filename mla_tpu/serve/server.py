@@ -198,6 +198,23 @@ class BatchedStreamingServer:
             *(self.states,) + self._put_batch(wav, active, n_valid)
         )
 
+    def warmup(self):
+        """Compile the masked tick + finalize programs BEFORE serving.
+
+        The batched tick's first compile takes minutes at high max_streams
+        on this platform's remote compiler, and a cold HTTP server would
+        503 sync feeds whose fold wait (SYNC_TIMEOUT, 120 s) expires
+        mid-compile. An all-inactive blank tick triggers the exact same
+        programs (identical avals and shardings) and leaves every stream
+        state numerically unchanged (active=False keeps st per row)."""
+        wav = self._blank_tile()
+        active = np.zeros(self.S, bool)
+        n_valid = np.full(self.S, self.chunk_patches, np.int32)
+        self.states = self._batched_step(
+            *(self.states,) + self._put_batch(wav, active, n_valid)
+        )
+        np.asarray(self._finalize(self.states))  # compile + device sync
+
     # --- stream lifecycle ---
     def open(self) -> int:
         for sid in range(self.S):

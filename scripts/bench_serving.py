@@ -200,6 +200,86 @@ def bench_http(cfg, variables, transfer_dtype: str,
         srv.server_close()
 
 
+def bench_http_cpp(cfg, variables, transfer_dtype: str,
+                   n_streams: int = N_STREAMS, sync: bool = True,
+                   native: bool = False) -> dict:
+    """bench_http with the load generator in C++ (native/bench_client).
+
+    At 32 streams the Python variant's own client threads saturate this
+    host's single CPU core (~4 ms of GIL-held work per request), so its
+    number measures the load generator, not the server (streams_per_tick
+    22-30/32 = the server idle-waiting for feeds). The C++ client costs
+    ~tens of us per request, so the reported number is true server
+    capacity. Same methodology: keep-alive connection per stream,
+    barrier-coordinated bursts, one scores fetch per repeat as the device
+    sync."""
+    import os
+    import subprocess
+    import tempfile
+
+    from mla_tpu.serve.client import _CTYPE, _WireEncoder
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    exe = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native", "bench_client")
+    src = exe + ".cpp"
+    if (not os.path.exists(exe)
+            or os.path.getmtime(exe) < os.path.getmtime(src)):
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-march=native", "-pthread",
+             src, "-o", exe], check=True, capture_output=True, timeout=120)
+
+    if native:
+        from mla_tpu.serve.native_front import create_native_server as create_server
+    else:
+        from mla_tpu.serve.http import create_server
+
+    srv = create_server(cfg, variables, port=0, max_streams=n_streams,
+                        chunk_patches=CHUNK_PATCHES,
+                        transfer_dtype=transfer_dtype)
+    host, port = srv.server_address[:2]
+    serve_t = threading.Thread(target=srv.serve_forever, daemon=True)
+    serve_t.start()
+    try:
+        wire = _WIRE[transfer_dtype]
+        rng = np.random.default_rng(0)
+        sps = _samples_per_patches(cfg.frontend, CHUNK_PATCHES)
+        chunk = (rng.standard_normal(sps) * 0.1).astype(np.float32)
+        body = np.ascontiguousarray(
+            _WireEncoder(wire).encode(chunk)).tobytes()
+        audio_s_per_round = n_streams * CHUNK_PATCHES * (
+            cfg.frontend.example_hop_frames * cfg.frontend.hop_length
+            / cfg.frontend.sample_rate
+        )
+        with tempfile.NamedTemporaryFile(suffix=".wire") as bf:
+            bf.write(body)
+            bf.flush()
+            out = subprocess.run(
+                [exe, host, str(port), str(n_streams), bf.name,
+                 _CTYPE[wire], str(TICKS_PER_REPEAT), str(REPEATS),
+                 "1" if sync else "0"],
+                capture_output=True, timeout=1200)
+        if out.returncode != 0:
+            raise RuntimeError(
+                f"bench_client failed: {out.stderr.decode()[-500:]}")
+        times = json.loads(out.stdout.decode())["times"]
+        tick_stats = srv.state.ticker
+        med = float(np.median(times))
+        return {
+            "transfer_dtype": transfer_dtype,
+            "mode": ("http-native" if native else "http")
+                    + ("" if sync else "-async") + "-cppclient",
+            "n_streams": n_streams,
+            "audio_seconds_per_s": TICKS_PER_REPEAT * audio_s_per_round / med,
+            "rel_spread": float((max(times) - min(times)) / med),
+            "streams_per_tick": round(
+                tick_stats.ticked_streams / max(1, tick_stats.ticks), 2),
+        }
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("wire", nargs="?", default="float32,int16,uint8,adpcm4",
@@ -215,6 +295,11 @@ def main():
     ap.add_argument("--native", action="store_true",
                     help="HTTP modes serve through the C++ ingest front "
                          "(native/serve_front.cpp) instead of the stdlib tier")
+    ap.add_argument("--cpp-client", action="store_true",
+                    help="HTTP modes drive load from native/bench_client "
+                         "(C++ threads) instead of Python TagClient threads "
+                         "— required for a server-bound number at >=32 "
+                         "streams on this 1-core host")
     args = ap.parse_args()
     dtypes = args.wire.split(",")
     n_streams = args.streams
@@ -231,8 +316,9 @@ def main():
             direct = bench_dtype(cfg, variables, td, n_streams)
             rows.append(direct)
         if args.http or args.http_only:
-            h = bench_http(cfg, variables, td, n_streams,
-                           sync=not args.async_feeds, native=args.native)
+            fn = bench_http_cpp if args.cpp_client else bench_http
+            h = fn(cfg, variables, td, n_streams,
+                   sync=not args.async_feeds, native=args.native)
             if direct is not None:
                 h["http_vs_direct"] = round(
                     h["audio_seconds_per_s"] / direct["audio_seconds_per_s"], 3)

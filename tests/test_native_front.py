@@ -297,6 +297,48 @@ def test_unresolvable_host_raises(served):
             max_streams=1)
 
 
+def test_cpp_load_client(served):
+    """native/bench_client (the C++ load generator behind bench_serving
+    --cpp-client) speaks the full stream protocol against the native
+    front: open, sync wire feeds, scores, delete, timed JSON out."""
+    import os
+    import subprocess
+    import tempfile
+
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    cfg, _, wav, base = served
+    src_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    exe = os.path.join(src_dir, "bench_client")
+    src = exe + ".cpp"
+    if not os.path.exists(exe) or os.path.getmtime(exe) < os.path.getmtime(src):
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-pthread", src, "-o", exe],
+                check=True, capture_output=True, timeout=120)
+        except (subprocess.SubprocessError, FileNotFoundError):
+            pytest.skip("cannot build native/bench_client")
+    host, port = base.replace("http://", "").rsplit(":", 1)
+    sps = _samples_per_patches(cfg.frontend, 3)  # one full chunk per feed
+    body = np.ascontiguousarray(wav[:sps]).tobytes()
+    with tempfile.NamedTemporaryFile(suffix=".wire") as bf:
+        bf.write(body)
+        bf.flush()
+        out = subprocess.run(
+            [exe, host, port, "2", bf.name, "application/octet-stream",
+             "2", "2", "1"],
+            capture_output=True, timeout=120)
+    assert out.returncode == 0, out.stderr.decode()
+    res = json.loads(out.stdout.decode())
+    assert len(res["times"]) == 2 and all(t > 0 for t in res["times"])
+    assert res["n_streams"] == 2
+    # the client's streams were deleted: all slots free again
+    sids = [_req(base, "POST", "/v1/streams")["sid"] for _ in range(3)]
+    for sid in sids:
+        _req(base, "DELETE", f"/v1/streams/{sid}")
+
+
 def test_body_size_cap(served):
     _, _, _, base = served
     sid = _req(base, "POST", "/v1/streams")["sid"]
