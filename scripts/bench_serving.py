@@ -300,7 +300,12 @@ def main():
                          "(C++ threads) instead of Python TagClient threads "
                          "— required for a server-bound number at >=32 "
                          "streams on this 1-core host")
+    ap.add_argument("--chunk-patches", type=int, default=CHUNK_PATCHES,
+                    help="patches folded per device tick (the serving "
+                         "throughput/latency knob: bigger chunks amortize "
+                         "the per-dispatch tunnel latency over more audio)")
     args = ap.parse_args()
+    globals()["CHUNK_PATCHES"] = args.chunk_patches
     dtypes = args.wire.split(",")
     n_streams = args.streams
 
