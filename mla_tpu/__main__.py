@@ -598,10 +598,11 @@ def main(argv=None):
     ss.add_argument("--chunk_patches", type=int, default=5,
                     help="patches per device tick (latency vs per-call efficiency)")
     ss.add_argument("--transfer_dtype", default="int16",
-                    choices=["int16", "float32", "uint8", "adpcm4"],
+                    choices=["int16", "float32", "uint8", "adpcm4", "adpcm2"],
                     help="wire/device-transfer dtype; int16 halves host->device "
                          "bytes, uint8 (8-bit mu-law) quarters them, adpcm4 "
-                         "(4-bit block ADPCM, decoded on device) is ~1/8 of f32")
+                         "(4-bit block ADPCM, decoded on device) is ~1/8 of "
+                         "f32, adpcm2 ~1/13 (max throughput, ~14 dB SNR)")
     ss.add_argument("--shard_streams", action="store_true",
                     help="shard the per-tick stream axis over all devices "
                          "(T11 at pod scale; max_streams must divide the "
@@ -619,7 +620,8 @@ def main(argv=None):
     sg.add_argument("--wav", required=True)
     sg.add_argument("--top_k", type=int, default=5)
     sg.add_argument("--wire", default="adpcm4",
-                    choices=["wav", "float32", "int16", "mulaw", "adpcm4"],
+                    choices=["wav", "float32", "int16", "mulaw", "adpcm4",
+                             "adpcm2"],
                     help="upload encoding; adpcm4 is ~1/8 of float32 and "
                          "decodes on the serving device")
     sg.set_defaults(fn=cmd_tag)
@@ -644,7 +646,7 @@ def main(argv=None):
     sx.add_argument("--batch", type=int, default=8)
     sx.add_argument("--seconds", type=float, default=10.0)
     sx.add_argument("--input_dtype", default="float32",
-                    choices=["float32", "int16", "uint8", "adpcm4"],
+                    choices=["float32", "int16", "uint8", "adpcm4", "adpcm2"],
                     help="bake the wire format in: int16 PCM / uint8 mu-law /"
                          " adpcm4 wire inputs are decoded inside the compiled"
                          " program")

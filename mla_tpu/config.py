@@ -149,7 +149,10 @@ class DataConfig:
     # Wire precision WAVEFORM batches travel to the device in:
     # float32 | int16 (2x, lossless for PCM16-sourced audio) | uint8
     # (8-bit mu-law, 4x, ~38 dB SNR) | adpcm4 (4-bit block ADPCM, ~8x,
-    # ~24 dB SNR). Applies to BOTH input paths: the device-resident
+    # ~24 dB SNR). The 2-bit adpcm2 wire is deliberately serving-only
+    # (~14 dB SNR holds tagging top-1 but is untested for gradient
+    # fidelity; adpcm4's loss trajectory was measured to match f32).
+    # Applies to BOTH input paths: the device-resident
     # dataset is staged in HBM compressed (2-8x more audio per chip) and
     # streamed batches (grain / non-resident) are encoded per batch on
     # host — either way the train step decodes on device. Streaming is

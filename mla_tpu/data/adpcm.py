@@ -1,12 +1,18 @@
-"""4-bit block-independent IMA ADPCM wire codec for serving (T11).
+"""Block-independent IMA ADPCM wire codecs for serving (T11): 4-bit
+(adpcm4, the quality default) and 2-bit (adpcm2, the max-throughput rung).
 
 Why: serving on a transfer-bound host is limited by host->device bytes
-(measured ~20-50 MB/s on this tunnel; docs/RESULTS.md). The wire-format
-ladder so far: f32 -> PCM16 (2x) -> 8-bit mu-law (4x). ADPCM at 4 bits/
-sample is the next rung (8x vs f32, ~2x vs mu-law) and is the classic
-fixed-rate speech/audio codec — no codec libraries exist in this image,
-so it is implemented here from the IMA/DVI spec (the reference family has
-no serving tier at all; its C15 is a one-shot script — SURVEY.md §2.1).
+(measured ~20-50 MB/s on this tunnel; docs/RESULTS.md — the device tick
+itself is transfer-dominated even on the adpcm4 wire). The wire-format
+ladder: f32 -> PCM16 (2x) -> 8-bit mu-law (4x) -> adpcm4 (8x, ~24 dB
+SNR) -> adpcm2 (~13x, ~14 dB SNR; probed for flagship top-1/top-5
+stability BEFORE being built — scripts/probe_adpcm_bits.py). ADPCM is
+the classic fixed-rate speech/audio codec — no codec libraries exist in
+this image, so it is implemented here from the IMA/DVI spec (the
+reference family has no serving tier at all; its C15 is a one-shot
+script — SURVEY.md §2.1). adpcm2 is serving-only; training staging
+(data.staging_dtype) stops at adpcm4, where the loss trajectory was
+measured to match f32.
 
 Design for TPU decode (the part that must run INSIDE the jitted chunk
 program so bytes travel host->HBM still compressed):
@@ -71,19 +77,19 @@ DEFAULT_BLOCK = 256
 SERVE_BLOCK = 64
 
 
-def wire_block_bytes(block: int = DEFAULT_BLOCK) -> int:
-    """Bytes per self-contained wire block (block/2 nibbles + 3 header)."""
-    return block // 2 + 3
+def wire_block_bytes(block: int = DEFAULT_BLOCK, bits: int = 4) -> int:
+    """Bytes per self-contained wire block (block*bits/8 codes + 3 header)."""
+    return block * bits // 8 + 3
 
 
-def wire_length(n: int, block: int = DEFAULT_BLOCK) -> int:
-    """Wire bytes per row for n samples (nibbles + per-block headers)."""
-    return (-(-n // block)) * wire_block_bytes(block)
+def wire_length(n: int, block: int = DEFAULT_BLOCK, bits: int = 4) -> int:
+    """Wire bytes per row for n samples (codes + per-block headers)."""
+    return (-(-n // block)) * wire_block_bytes(block, bits)
 
 
-def wire_bytes_per_sample(block: int = DEFAULT_BLOCK) -> float:
-    """Wire cost per sample (0.512 at block=256; mu-law is 1.0)."""
-    return 0.5 + 3.0 / block
+def wire_bytes_per_sample(block: int = DEFAULT_BLOCK, bits: int = 4) -> float:
+    """Wire cost per sample (4-bit: 0.512 at block=256; mu-law is 1.0)."""
+    return bits / 8 + 3.0 / block
 
 
 def _as_int16_rows(x: np.ndarray) -> Tuple[np.ndarray, Tuple[int, ...]]:
@@ -241,6 +247,179 @@ def _decode_np(wire, n, n_pad, block):
     if n is not None:
         out = out[:, :n]
     return (out.astype(np.float32) / 32768.0).reshape(lead + (out.shape[-1],))
+
+
+# --------------------------------------------------------------- 2-bit
+# The thinnest wire rung (0.297 bytes/sample at block 64 — 1.84x thinner
+# than adpcm4): code = sign<<1 | mag, delta = step/2 + mag*step, index
+# adaptation {-1, +2} on mag. Quality measured before building
+# (scripts/probe_adpcm_bits.py): ~14 dB SNR on tonal program material vs
+# adpcm4's ~24 dB, flagship top-1 AND full top-5 stable vs the f32 path.
+# adpcm4 stays the serving default; adpcm2 is the opt-in
+# maximum-throughput rung for transfer-starved links.
+
+INDEX_TABLE_2 = np.array([-1, 2], dtype=np.int32)  # by mag bit
+
+
+def adpcm2_encode(x: np.ndarray, block: int = DEFAULT_BLOCK) -> np.ndarray:
+    """Encode int16 PCM (or float [-1,1]) [..., n] -> one uint8 wire
+    buffer [..., wire_length(n, block, bits=2)]. Same block-interleaved
+    layout as adpcm4 with 2-bit codes: per block
+    ``[codes block/4 | pred0 int16-LE | index0]`` (4 codes per byte,
+    sample order from LSB)."""
+    xi, lead = _as_int16_rows(x)
+    xi = _pad_blocks(xi, block)
+    rows, n_pad = xi.shape
+    n_blocks = n_pad // block
+
+    from mla_tpu.data import native
+
+    if native.available():
+        return native.adpcm2_encode(xi, block).reshape(lead + (-1,))
+
+    blocks = xi.astype(np.int32).reshape(rows * n_blocks, block)
+    pred = blocks[:, 0].copy()
+    index = _init_index(blocks)
+    pred0 = pred.astype(np.int16)
+    index0 = index.astype(np.uint8)
+    codes = np.empty((blocks.shape[0], block), np.uint8)
+    for i in range(block):
+        step = STEP_TABLE[index]
+        diff = blocks[:, i] - pred
+        sign = (diff < 0).astype(np.int32)
+        mag = (np.abs(diff) >= step).astype(np.int32)
+        codes[:, i] = (sign << 1) | mag
+        # reconstruction feedback: identical to the decoder step
+        delta = (step >> 1) + mag * step
+        pred = np.clip(pred + np.where(sign, -delta, delta), -32768, 32767)
+        index = np.clip(index + INDEX_TABLE_2[mag], 0, 88)
+    packed = (codes[:, 0::4] | (codes[:, 1::4] << 2)
+              | (codes[:, 2::4] << 4) | (codes[:, 3::4] << 6)).astype(np.uint8)
+    wire = np.concatenate(
+        [packed.reshape(rows * n_blocks, block // 4),
+         pred0.view(np.uint8).reshape(rows * n_blocks, 2),
+         index0.reshape(rows * n_blocks, 1)],
+        axis=1)
+    return wire.reshape(lead + (-1,))
+
+
+def adpcm2_decode(
+    wire: np.ndarray,
+    n: Optional[int] = None,
+    block: int = DEFAULT_BLOCK,
+    xp=np,
+):
+    """2-bit wire buffer [..., W] -> float32 waveform [..., n] in [-1,1].
+    Same dual-path contract as adpcm4_decode (xp=np host / xp=jnp inside
+    the jitted chunk program, bit-identical reconstruction)."""
+    w = wire.shape[-1]
+    # W = n_pad/4 + 3*n_pad/block  =>  n_pad = W * 4*block / (block + 12)
+    n_pad = (w * 4 * block) // (block + 12)
+    if wire_length(n_pad, block, bits=2) != w or (n is not None and n > n_pad):
+        raise ValueError(f"wire width {w} is not a whole number of "
+                         f"2-bit block={block} groups (or n={n} too large)")
+    if xp is np:
+        return _decode2_np(wire, n, n_pad, block)
+    return _decode2_jnp(wire, n, n_pad, block)
+
+
+def _split_wire2(wire, n_pad: int, block: int):
+    """2-bit twin of _split_wire: [R, W] -> (packed [R, n_pad/4],
+    pred0 int32 [R, nb], index0 [R, nb])."""
+    nb = n_pad // block
+    u = wire.reshape(wire.shape[0], nb, block // 4 + 3)
+    packed = u[:, :, :block // 4].reshape(wire.shape[0], n_pad // 4)
+    lo = u[:, :, block // 4].astype("int32")
+    hi = u[:, :, block // 4 + 1].astype("int32")
+    pred0 = lo + (hi << 8)
+    pred0 = pred0 - (pred0 >= 32768) * 65536
+    index0 = u[:, :, block // 4 + 2]
+    return packed, pred0, index0
+
+
+def _decode2_np(wire, n, n_pad, block):
+    wire = np.asarray(wire, np.uint8)
+    lead = wire.shape[:-1]
+    wire = wire.reshape(-1, wire.shape[-1])
+    packed, pred, index = _split_wire2(wire, n_pad, block)
+    packed = packed.astype(np.int32)
+    codes = np.stack([(packed >> s) & 3 for s in (0, 2, 4, 6)],
+                     axis=-1).reshape(packed.shape[0], -1)
+    l_rows = codes.shape[0]
+    n_blocks = n_pad // block
+    codes = codes.reshape(l_rows * n_blocks, block)
+    pred = pred.astype(np.int32).reshape(-1)
+    index = index.astype(np.int32).reshape(-1)
+    out = np.empty((codes.shape[0], block), np.int32)
+    for i in range(block):
+        code = codes[:, i]
+        mag = code & 1
+        step = STEP_TABLE[index]
+        delta = (step >> 1) + mag * step
+        pred = np.clip(pred + np.where(code & 2, -delta, delta),
+                       -32768, 32767)
+        index = np.clip(index + INDEX_TABLE_2[mag], 0, 88)
+        out[:, i] = pred
+    out = out.reshape(l_rows, n_pad)
+    if n is not None:
+        out = out[:, :n]
+    return (out.astype(np.float32) / 32768.0).reshape(lead + (out.shape[-1],))
+
+
+def _decode2_jnp(wire, n, n_pad, block):
+    import jax.numpy as jnp
+    from jax import lax
+
+    # Same TPU lowering rules as _decode_jnp: one-hot select-and-sum step
+    # lookup (int32, never a gather or an f32 dot), and NO minor-dim
+    # interleave — the scan consumes the FOUR 2-bit code streams of each
+    # packed byte separately (4 decode updates per step, block/4 steps)
+    # and the outputs re-interleave via interior padding.
+    step_t = jnp.asarray(STEP_TABLE, jnp.int32)
+    iota89 = jnp.arange(89, dtype=jnp.int32)
+    wire = jnp.asarray(wire).astype(jnp.uint8)
+    lead = wire.shape[:-1]
+    wire = wire.reshape(-1, wire.shape[-1])
+    packed, pred, index = _split_wire2(wire, n_pad, block)
+    l_rows = packed.shape[0]
+    n_blocks = n_pad // block
+    packed = packed.astype(jnp.int32).reshape(l_rows * n_blocks, block // 4)
+    streams = [((packed >> s) & 3).T for s in (0, 2, 4, 6)]  # [block/4, L]
+    pred = pred.astype(jnp.int32).reshape(-1)
+    index = index.astype(jnp.int32).reshape(-1)
+
+    def one(carry, code):
+        pred, index = carry
+        step = jnp.sum(
+            jnp.where(index[:, None] == iota89[None, :], step_t[None, :], 0),
+            axis=1)
+        mag = code & 1
+        delta = (step >> 1) + mag * step
+        pred = jnp.clip(pred + jnp.where(code & 2, -delta, delta),
+                        -32768, 32767)
+        index = jnp.clip(index + jnp.where(mag > 0, 2, -1), 0, 88)
+        return (pred, index), pred
+
+    def step_fn(carry, codes):
+        ys = []
+        for c in codes:
+            carry, p = one(carry, c)
+            ys.append(p)
+        return carry, tuple(ys)
+
+    _, ys = lax.scan(step_fn, (pred, index), tuple(streams))
+    # re-interleave the 4 phase streams via interior padding (width 3)
+    out = None
+    for phase, y in enumerate(ys):
+        padded = lax.pad(y.T, jnp.int32(0),
+                         [(0, 0, 0), (phase, 3 - phase, 3)])
+        out = padded if out is None else out + padded
+    out = out.reshape(l_rows, n_pad)
+    if n is not None:
+        out = out[:, :n]
+    return (out.astype(jnp.float32) / 32768.0).reshape(
+        lead + (out.shape[-1],)
+    )
 
 
 def _decode_jnp(wire, n, n_pad, block):

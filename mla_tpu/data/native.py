@@ -70,6 +70,10 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long, ctypes.c_long,
         ctypes.c_long, ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.adpcm2_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.POINTER(ctypes.c_uint8),
+    ]
     return lib
 
 
@@ -164,6 +168,24 @@ def adpcm4_encode(x: np.ndarray, block: int) -> np.ndarray:
         raise ValueError(f"n={n} must be a multiple of block={block}")
     wire = np.zeros((rows, n // 2 + 3 * (n // block)), np.uint8)
     lib.adpcm4_encode(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), rows, n, block,
+        wire.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return wire
+
+
+def adpcm2_encode(x: np.ndarray, block: int) -> np.ndarray:
+    """2-bit twin of adpcm4_encode (data.adpcm.adpcm2_encode numpy path is
+    the spec; bit-exact)."""
+    lib = _lib()
+    if lib is None:
+        raise RuntimeError("native audio_ingest unavailable")
+    x = np.ascontiguousarray(x, np.int16)
+    rows, n = x.shape
+    if n % block:
+        raise ValueError(f"n={n} must be a multiple of block={block}")
+    wire = np.zeros((rows, n // 4 + 3 * (n // block)), np.uint8)
+    lib.adpcm2_encode(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), rows, n, block,
         wire.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )

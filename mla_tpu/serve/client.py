@@ -37,6 +37,7 @@ _CTYPE = {
     "int16": "audio/L16",
     "mulaw": "audio/basic",
     "adpcm4": "audio/adpcm4",
+    "adpcm2": "audio/adpcm2",
     "wav": "audio/wav",
 }
 
@@ -48,9 +49,10 @@ class _WireEncoder:
     server masks sub-patch tails anyway)."""
 
     def __init__(self, wire: str):
-        if wire not in ("float32", "int16", "mulaw", "adpcm4"):
+        if wire not in ("float32", "int16", "mulaw", "adpcm4", "adpcm2"):
             raise ValueError(
-                f"wire must be float32|int16|mulaw|adpcm4, got {wire!r}")
+                "wire must be float32|int16|mulaw|adpcm4|adpcm2, "
+                f"got {wire!r}")
         self.wire = wire
         self._rem = np.zeros(0, np.int16)
 
@@ -81,18 +83,20 @@ class _WireEncoder:
             return mulaw_encode(self._float(x)).tobytes()
         from mla_tpu.data import adpcm
 
+        enc = (adpcm.adpcm2_encode if self.wire == "adpcm2"
+               else adpcm.adpcm4_encode)
         buf = np.concatenate([self._rem, self._int16(x)])
         nb = len(buf) // adpcm.SERVE_BLOCK
         if final:
             self._rem = np.zeros(0, np.int16)
             if len(buf) == 0:
                 return b""
-            return adpcm.adpcm4_encode(buf, block=adpcm.SERVE_BLOCK).tobytes()
+            return enc(buf, block=adpcm.SERVE_BLOCK).tobytes()
         self._rem = buf[nb * adpcm.SERVE_BLOCK:]
         if nb == 0:
             return b""
-        return adpcm.adpcm4_encode(
-            buf[: nb * adpcm.SERVE_BLOCK], block=adpcm.SERVE_BLOCK).tobytes()
+        return enc(buf[: nb * adpcm.SERVE_BLOCK],
+                   block=adpcm.SERVE_BLOCK).tobytes()
 
 
 class TagClient:

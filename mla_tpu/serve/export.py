@@ -53,26 +53,32 @@ def export_forward(
     from mla_tpu.models.zoo import build_model
     from mla_tpu.ops import frontend as fe
 
-    if input_dtype not in ("float32", "int16", "uint8", "adpcm4"):
-        raise ValueError("input_dtype must be float32|int16|uint8|adpcm4, "
-                         f"got {input_dtype!r}")
+    if input_dtype not in ("float32", "int16", "uint8", "adpcm4", "adpcm2"):
+        raise ValueError(
+            "input_dtype must be float32|int16|uint8|adpcm4|adpcm2, "
+            f"got {input_dtype!r}")
     model = build_model(cfg.model)
     n_samples = int(round(seconds * cfg.frontend.sample_rate))
+    adpcm_bits = (int(input_dtype[-1])
+                  if input_dtype.startswith("adpcm") else None)
     wire_len = None
-    if input_dtype == "adpcm4":
+    if adpcm_bits is not None:
         from mla_tpu.data import adpcm as _ad
 
         if n_samples % _ad.SERVE_BLOCK:
             raise ValueError(
-                f"adpcm4 export needs n_samples divisible by "
+                f"{input_dtype} export needs n_samples divisible by "
                 f"{_ad.SERVE_BLOCK}, got {n_samples}")
-        wire_len = _ad.wire_length(n_samples, _ad.SERVE_BLOCK)
+        wire_len = _ad.wire_length(n_samples, _ad.SERVE_BLOCK,
+                                   bits=adpcm_bits)
 
     def forward(wav):
-        if input_dtype == "adpcm4":
-            from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm4_decode
+        if adpcm_bits is not None:
+            from mla_tpu.data.adpcm import (SERVE_BLOCK, adpcm2_decode,
+                                            adpcm4_decode)
 
-            wav = adpcm4_decode(wav, n=n_samples, block=SERVE_BLOCK, xp=jnp)
+            dec = adpcm4_decode if adpcm_bits == 4 else adpcm2_decode
+            wav = dec(wav, n=n_samples, block=SERVE_BLOCK, xp=jnp)
         elif wav.dtype == jnp.int16:
             wav = wav.astype(jnp.float32) / 32768.0
         elif wav.dtype == jnp.uint8:
@@ -83,7 +89,8 @@ def export_forward(
         return model.apply(variables, patches, train=False).astype(jnp.float32)
 
     in_shape = (batch, wire_len) if wire_len else (batch, n_samples)
-    in_dtype = jnp.uint8 if input_dtype == "adpcm4" else jnp.dtype(input_dtype)
+    in_dtype = (jnp.uint8 if adpcm_bits is not None
+                else jnp.dtype(input_dtype))
     exp = jexport.export(jax.jit(forward), platforms=tuple(platforms))(
         jax.ShapeDtypeStruct(in_shape, in_dtype)
     )
@@ -129,7 +136,7 @@ def load_exported(path: str) -> Callable[[np.ndarray], np.ndarray]:
         import jax.numpy as jnp
 
         idt = meta.get("input_dtype", "float32")
-        wav = jnp.asarray(wav, jnp.uint8 if idt == "adpcm4"
+        wav = jnp.asarray(wav, jnp.uint8 if idt.startswith("adpcm")
                           else jnp.dtype(idt))
         want = (meta["batch"], meta.get("wire_length") or meta["n_samples"])
         if tuple(wav.shape) != want:

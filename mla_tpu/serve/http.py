@@ -75,7 +75,8 @@ def _decode_audio(body: bytes, content_type: str, sample_rate: int) -> np.ndarra
         # uint8 arrays are mu-law codes by server convention; with
         # transfer_dtype="uint8" the bytes go to HBM still compressed
         return np.frombuffer(body, dtype=np.uint8)
-    if content_type.startswith("audio/adpcm4"):
+    if (content_type.startswith("audio/adpcm4")
+            or content_type.startswith("audio/adpcm2")):
         return np.frombuffer(body, dtype=np.uint8)  # wire blocks
     if content_type.startswith("audio/wav") or body[:4] == b"RIFF":
         from mla_tpu.data import audio_io
@@ -108,20 +109,30 @@ def _feed(st: "_TaggerState", sid: int, samples: np.ndarray,
     when the body is host-decoded for a non-adpcm4 server (advisor
     finding, round 2); the SDK only pads at flush, but raw HTTP clients
     may pad every chunk."""
-    is_adpcm_body = content_type.startswith("audio/adpcm4")
-    if st.server.transfer_dtype == "adpcm4":
-        if is_adpcm_body:
+    body_bits = (4 if content_type.startswith("audio/adpcm4")
+                 else 2 if content_type.startswith("audio/adpcm2") else None)
+    srv_adpcm = getattr(st.server, "_adpcm", None)
+    if srv_adpcm is not None:
+        if body_bits == srv_adpcm["bits"]:  # matching wire: zero host work
             return st.ticker.feed(sid, samples, wire=True, sync=sync)
-        if samples.dtype == np.uint8:  # audio/basic: expand mu-law on host
+        if body_bits is not None:  # other-width adpcm body: host transcode
+            samples = _host_adpcm_decode(samples, body_bits, n_samples)
+        elif samples.dtype == np.uint8:  # audio/basic: expand mu-law
             from mla_tpu.data.audio_io import mulaw_decode
 
             samples = mulaw_decode(samples)
         return st.ticker.feed(sid, samples, wire=False, sync=sync)
-    if is_adpcm_body:  # adpcm4 body to a non-adpcm server: decode on host
-        from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm4_decode
-
-        samples = adpcm4_decode(samples, n=n_samples, block=SERVE_BLOCK)
+    if body_bits is not None:  # adpcm body to a non-adpcm server
+        samples = _host_adpcm_decode(samples, body_bits, n_samples)
     return st.ticker.feed(sid, samples, sync=sync)
+
+
+def _host_adpcm_decode(samples: np.ndarray, bits: int,
+                       n_samples: Optional[int]) -> np.ndarray:
+    from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm2_decode, adpcm4_decode
+
+    dec = adpcm4_decode if bits == 4 else adpcm2_decode
+    return dec(samples, n=n_samples, block=SERVE_BLOCK)
 
 
 class _TaggerState:
@@ -321,18 +332,21 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             ctype = self.headers.get("Content-Type", "")
             fed = int(len(samples))
-            if ctype.startswith("audio/adpcm4"):
+            body_bits = (4 if ctype.startswith("audio/adpcm4")
+                         else 2 if ctype.startswith("audio/adpcm2") else None)
+            if body_bits is not None:
                 # the body was wire BYTES; report the samples they carry,
                 # consistent with every other body format and pending()
                 from mla_tpu.data.adpcm import SERVE_BLOCK, wire_block_bytes
 
-                fed = len(samples) // wire_block_bytes(SERVE_BLOCK) * SERVE_BLOCK
+                wb = wire_block_bytes(SERVE_BLOCK, bits=body_bits)
+                fed = len(samples) // wb * SERVE_BLOCK
                 xs = self._x_samples()
                 if (xs is not None and xs <= fed
-                        and st.server.transfer_dtype != "adpcm4"):
+                        and st.server.transfer_dtype != f"adpcm{body_bits}"):
                     # host-decode path sliced padding off with n=X-Samples;
-                    # on an adpcm4 server the wire is buffered whole, so
-                    # every block's samples really were fed
+                    # on a matching-wire server the wire is buffered whole,
+                    # so every block's samples really were fed
                     fed = xs
             self._reply(200, {"fed_samples": fed, "advanced": advanced})
             return

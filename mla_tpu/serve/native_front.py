@@ -52,7 +52,7 @@ from mla_tpu.data.labels import labels_for
 from mla_tpu.serve.http import _decode_audio
 from mla_tpu.serve.server import BatchedStreamingServer
 
-_WIRE_FMT = {"float32": 0, "int16": 1, "uint8": 2, "adpcm4": 3}
+_WIRE_FMT = {"float32": 0, "int16": 1, "uint8": 2, "adpcm4": 3, "adpcm2": 4}
 _SRC_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(__file__))), "native")
 _LIB: Optional[ctypes.CDLL] = None
@@ -391,13 +391,20 @@ class NativeTagServer:
         decoded body into the server's wire format, then append to the
         C++ buffer. Mirrors BatchedStreamingServer.feed's routing."""
         srv = self.srv
+        body_bits = (4 if ctype.startswith("audio/adpcm4")
+                     else 2 if ctype.startswith("audio/adpcm2") else None)
         with self.host_lock:
             srv._check(sid)
             if srv._adpcm is not None:
-                if ctype.startswith("audio/adpcm4"):
+                if body_bits == srv._adpcm["bits"]:
                     wire = srv._coerce_adpcm(sid, samples, True)
                 else:
-                    if samples.dtype == np.uint8:  # audio/basic mu-law
+                    if body_bits is not None:  # other-width adpcm body
+                        from mla_tpu.serve.http import _host_adpcm_decode
+
+                        samples = _host_adpcm_decode(samples, body_bits,
+                                                     n_samples)
+                    elif samples.dtype == np.uint8:  # audio/basic mu-law
                         from mla_tpu.data.audio_io import mulaw_decode
 
                         samples = mulaw_decode(samples)
@@ -405,11 +412,11 @@ class NativeTagServer:
                 self._lib.sf_set_rem(
                     self._h, sid, 1 if len(srv._rem[sid]) else 0)
             else:
-                if ctype.startswith("audio/adpcm4"):
-                    from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm4_decode
+                if body_bits is not None:
+                    from mla_tpu.serve.http import _host_adpcm_decode
 
-                    samples = adpcm4_decode(samples, n=n_samples,
-                                            block=SERVE_BLOCK)
+                    samples = _host_adpcm_decode(samples, body_bits,
+                                                 n_samples)
                 wire = srv._coerce(samples)
             advanced = self._append_wire(sid, wire)
         if sync and advanced:
@@ -429,12 +436,15 @@ class NativeTagServer:
         except ValueError as e:
             raise _HTTPError(400, str(e))
         fed = int(len(samples))
-        if ctype.startswith("audio/adpcm4"):
+        body_bits = (4 if ctype.startswith("audio/adpcm4")
+                     else 2 if ctype.startswith("audio/adpcm2") else None)
+        if body_bits is not None:
             from mla_tpu.data.adpcm import SERVE_BLOCK, wire_block_bytes
 
-            fed = len(samples) // wire_block_bytes(SERVE_BLOCK) * SERVE_BLOCK
+            wb = wire_block_bytes(SERVE_BLOCK, bits=body_bits)
+            fed = len(samples) // wb * SERVE_BLOCK
             if (xs is not None and xs <= fed
-                    and self.srv.transfer_dtype != "adpcm4"):
+                    and self.srv.transfer_dtype != f"adpcm{body_bits}"):
                 fed = xs  # host decode sliced the final block's padding
         return {"fed_samples": fed, "advanced": advanced}
 

@@ -53,9 +53,10 @@ class BatchedStreamingServer:
         max_streams must divide by the axis size."""
         if cfg.model.variant not in STREAMING_VARIANTS:
             raise ValueError(f"unknown streaming variant {cfg.model.variant!r}; pick from {STREAMING_VARIANTS}")
-        if transfer_dtype not in ("float32", "int16", "uint8", "adpcm4"):
+        if transfer_dtype not in ("float32", "int16", "uint8", "adpcm4",
+                                  "adpcm2"):
             raise ValueError(
-                "transfer_dtype must be float32|int16|uint8|adpcm4, "
+                "transfer_dtype must be float32|int16|uint8|adpcm4|adpcm2, "
                 f"got {transfer_dtype!r}"
             )
         # "int16": buffer and ship PCM16, dequantize ON DEVICE — halves
@@ -72,10 +73,15 @@ class BatchedStreamingServer:
         # ~0.55 byte/sample upload. Float/int16 feeds are encoded
         # incrementally at feed time. ~24 dB SNR on tonal material,
         # top-1 stable vs f32 (tested).
+        # "adpcm2": the 2-bit rung (0.297 bytes/sample — 1.84x thinner than
+        # adpcm4) for maximally transfer-starved links; same block wire
+        # with 2-bit codes. ~14 dB SNR vs adpcm4's ~24 (probed before
+        # building: flagship top-1 AND top-5 stable vs f32 —
+        # scripts/probe_adpcm_bits.py); adpcm4 stays the quality default.
         self.transfer_dtype = transfer_dtype
         self._buf_dtype = {
             "float32": np.float32, "int16": np.int16, "uint8": np.uint8,
-            "adpcm4": np.uint8,
+            "adpcm4": np.uint8, "adpcm2": np.uint8,
         }[transfer_dtype]
         # silence in wire units: mu-law code 0 is FULL-SCALE -1.0, not zero —
         # pad with the code for 0.0 (=128) or a flushed sub-patch tail would
@@ -92,24 +98,30 @@ class BatchedStreamingServer:
         )
         self._n_levels = n_stream_levels(cfg.model)
         self._adpcm = None
-        if transfer_dtype == "adpcm4":
+        if transfer_dtype in ("adpcm4", "adpcm2"):
             from mla_tpu.data import adpcm as _ad
 
+            bits = int(transfer_dtype[-1])
             blk = _ad.SERVE_BLOCK
             if self.chunk_samples % blk or self.hop_samples % blk:
                 raise ValueError(
-                    f"adpcm4 needs chunk/hop sample counts divisible by "
-                    f"{blk} (chunk={self.chunk_samples}, "
+                    f"{transfer_dtype} needs chunk/hop sample counts "
+                    f"divisible by {blk} (chunk={self.chunk_samples}, "
                     f"hop={self.hop_samples}); use transfer_dtype='int16' "
                     "for this front-end geometry")
-            wb = _ad.wire_block_bytes(blk)
+            wb = _ad.wire_block_bytes(blk, bits=bits)
+            enc = _ad.adpcm4_encode if bits == 4 else _ad.adpcm2_encode
+            dec = _ad.adpcm4_decode if bits == 4 else _ad.adpcm2_decode
             self._adpcm = {
-                "block": blk, "wb": wb,
+                "block": blk, "wb": wb, "bits": bits,
+                "encode": enc, "decode": dec,
                 "chunk_wire": self.chunk_samples // blk * wb,
                 "hop_wire": self.hop_samples // blk * wb,
-                # a silence block decodes to exact zeros (min step >> 3 == 0)
-                "silence": _ad.adpcm4_encode(np.zeros(blk, np.int16),
-                                             block=blk),
+                # 4-bit: a silence block decodes to exact zeros (min step
+                # 7 >> 3 == 0). 2-bit: +/-3 LSB dither (7 >> 1 == 3) — only
+                # ever fed to masked rows (inactive ticks / flush padding),
+                # so it never reaches a fold.
+                "silence": enc(np.zeros(blk, np.int16), block=blk),
             }
             self._rem: List[np.ndarray] = [
                 np.zeros(0, np.int16) for _ in range(self.S)
@@ -151,11 +163,10 @@ class BatchedStreamingServer:
             per stream (nibbles + block headers) and the codec is decoded
             here on device — the upload stays compressed all the way to
             HBM."""
-            if self.transfer_dtype == "adpcm4":
-                from mla_tpu.data.adpcm import adpcm4_decode
-
-                wav = adpcm4_decode(wav, n=self.chunk_samples,
-                                    block=self._adpcm["block"], xp=jnp)
+            if self._adpcm is not None:
+                wav = self._adpcm["decode"](wav, n=self.chunk_samples,
+                                            block=self._adpcm["block"],
+                                            xp=jnp)
             elif wav.dtype == jnp.int16:
                 wav = wav.astype(jnp.float32) / 32768.0
             elif wav.dtype == jnp.uint8:  # mu-law expansion on device
@@ -274,15 +285,13 @@ class BatchedStreamingServer:
         """adpcm4 servers buffer wire bytes. uint8 input (or wire=True) is
         pre-encoded wire — whole block units, zero host work; float/int16
         is encoded incrementally with a per-stream sub-block remainder."""
-        from mla_tpu.data import adpcm as _ad
-
         a = self._adpcm
         samples = np.asarray(samples)
         if wire or (wire is None and samples.dtype == np.uint8):
             if samples.dtype != np.uint8 or len(samples) % a["wb"]:
                 raise ValueError(
-                    "adpcm4 wire feed must be uint8 in whole "
-                    f"{a['wb']}-byte block units")
+                    f"{self.transfer_dtype} wire feed must be uint8 in "
+                    f"whole {a['wb']}-byte block units")
             if len(self._rem[sid]):
                 # a sample feed left a sub-block remainder; appending wire
                 # blocks now would place that audio AFTER them in the
@@ -305,7 +314,7 @@ class BatchedStreamingServer:
         self._rem[sid] = buf[nb * a["block"]:]
         if nb == 0:
             return np.zeros(0, np.uint8)
-        return _ad.adpcm4_encode(buf[: nb * a["block"]], block=a["block"])
+        return a["encode"](buf[: nb * a["block"]], block=a["block"])
 
     def feed(self, sid: int, samples: np.ndarray,
              wire: Optional[bool] = None):

@@ -314,6 +314,66 @@ void adpcm4_encode(const int16_t* x, long rows, long n, long block,
   for (auto& th : pool) th.join();
 }
 
+// 2-bit variant (the thinnest wire rung; mla_tpu/data/adpcm.py
+// adpcm2_encode's numpy path is the spec — bit-identical): code =
+// sign<<1 | mag, delta = step/2 + mag*step, index += mag ? +2 : -1.
+// Wire unit per block: [codes block/4 | pred0 int16-LE | index0].
+void adpcm2_encode_row(const int16_t* row, long n, long block,
+                       uint8_t* wrow) {
+  const long n_blocks = n / block;
+  const long wb = block / 4 + 3;
+  for (long blk = 0; blk < n_blocks; ++blk) {
+    const int16_t* b = row + blk * block;
+    uint8_t* unit = wrow + blk * wb;
+    long sum = 0;
+    for (long i = 1; i < block; ++i)
+      sum += std::labs(static_cast<long>(b[i]) - b[i - 1]);
+    const int32_t mean =
+        block > 1 ? static_cast<int32_t>(sum / (block - 1)) : 0;
+    int32_t index = 0;
+    while (index < 88 && kAdpcmStep[index] < mean) ++index;
+    int32_t pred = b[0];
+    unit[block / 4] = static_cast<uint8_t>(pred & 0xFF);
+    unit[block / 4 + 1] = static_cast<uint8_t>((pred >> 8) & 0xFF);
+    unit[block / 4 + 2] = static_cast<uint8_t>(index);
+    for (long i = 0; i < block; ++i) {
+      const int32_t step = kAdpcmStep[index];
+      const int32_t diff = b[i] - pred;
+      const int32_t sign = diff < 0;
+      const int32_t mag = (sign ? -diff : diff) >= step;
+      const int32_t code = (sign << 1) | mag;
+      const int32_t delta = (step >> 1) + mag * step;
+      pred += sign ? -delta : delta;
+      pred = std::max(-32768, std::min(32767, pred));
+      index = std::max(0, std::min(88, index + (mag ? 2 : -1)));
+      const int sh = (i & 3) * 2;
+      if (sh == 0)
+        unit[i >> 2] = static_cast<uint8_t>(code);
+      else
+        unit[i >> 2] |= static_cast<uint8_t>(code << sh);
+    }
+  }
+}
+void adpcm2_encode(const int16_t* x, long rows, long n, long block,
+                   uint8_t* wire) {
+  const long wrow_len = n / 4 + 3 * (n / block);
+  const long n_threads =
+      std::min<long>(rows, std::max(1u, std::thread::hardware_concurrency()));
+  if (n_threads <= 1 || rows == 1) {
+    for (long r = 0; r < rows; ++r)
+      adpcm2_encode_row(x + r * n, n, block, wire + r * wrow_len);
+    return;
+  }
+  std::vector<std::thread> pool;
+  std::atomic<long> next(0);
+  for (long t = 0; t < n_threads; ++t)
+    pool.emplace_back([&]() {
+      for (long r = next.fetch_add(1); r < rows; r = next.fetch_add(1))
+        adpcm2_encode_row(x + r * n, n, block, wire + r * wrow_len);
+    });
+  for (auto& th : pool) th.join();
+}
+
 // ---------- Streaming ring buffer ----------
 
 struct RingBuffer {

@@ -63,7 +63,8 @@ namespace {
 
 using Clock = std::chrono::steady_clock;
 
-constexpr int WIRE_F32 = 0, WIRE_I16 = 1, WIRE_MULAW = 2, WIRE_ADPCM4 = 3;
+constexpr int WIRE_F32 = 0, WIRE_I16 = 1, WIRE_MULAW = 2, WIRE_ADPCM4 = 3,
+              WIRE_ADPCM2 = 4;  // block geometry arrives via wb/block args
 constexpr size_t MAX_HEADER_BYTES = 16 * 1024;
 constexpr int IDLE_TIMEOUT_S = 120;   // keep-alive idle reap
 constexpr int SYNC_TIMEOUT_S = 120;   // sync feed fold wait (tick thread gone)
@@ -317,6 +318,8 @@ bool ctype_matches_wire(int wire_fmt, const std::string& ctype) {
   switch (wire_fmt) {
     case WIRE_ADPCM4:
       return starts("audio/adpcm4");
+    case WIRE_ADPCM2:
+      return starts("audio/adpcm2");
     case WIRE_MULAW:
       return starts("audio/basic");
     case WIRE_I16:
@@ -340,6 +343,8 @@ bool handle_audio_fast(Server* sv, int fd, int sid, const Request& rq) {
   if (sv->wire_fmt == WIRE_F32 && rq.body.size() >= 4 &&
       memcmp(rq.body.data(), "RIFF", 4) == 0)
     return false;
+  const bool adpcm =
+      sv->wire_fmt == WIRE_ADPCM4 || sv->wire_fmt == WIRE_ADPCM2;
   long unit = sv->wire_fmt == WIRE_F32 ? 4
               : sv->wire_fmt == WIRE_I16 ? 2
               : sv->wire_fmt == WIRE_MULAW ? 1
@@ -353,7 +358,7 @@ bool handle_audio_fast(Server* sv, int fd, int sid, const Request& rq) {
             !rq.keep_alive);
     return true;
   }
-  long long fed = sv->wire_fmt == WIRE_ADPCM4
+  long long fed = adpcm
                       ? (long long)rq.body.size() / sv->wb * sv->block_samples
                       : (long long)rq.body.size() / unit;
   bool async = query_async(rq.query);

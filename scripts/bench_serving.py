@@ -36,7 +36,7 @@ REPEATS = 5
 
 # client-SDK wire name for each server transfer_dtype
 _WIRE = {"float32": "float32", "int16": "int16", "uint8": "mulaw",
-         "adpcm4": "adpcm4"}
+         "adpcm4": "adpcm4", "adpcm2": "adpcm2"}
 
 
 def bench_dtype(cfg, variables, transfer_dtype: str,
@@ -56,11 +56,12 @@ def bench_dtype(cfg, variables, transfer_dtype: str,
         # buffers) — the bench measures the serving tier, not a host-side
         # transcode
         chunk = pcm16_quantize(chunk)
-    elif transfer_dtype == "adpcm4":
+    elif transfer_dtype in ("adpcm4", "adpcm2"):
         from mla_tpu.data import adpcm
 
-        chunk = adpcm.adpcm4_encode(pcm16_quantize(chunk),
-                                    block=adpcm.SERVE_BLOCK)
+        enc = (adpcm.adpcm4_encode if transfer_dtype == "adpcm4"
+               else adpcm.adpcm2_encode)
+        chunk = enc(pcm16_quantize(chunk), block=adpcm.SERVE_BLOCK)
     elif transfer_dtype == "uint8":
         from mla_tpu.data.audio_io import mulaw_encode
 

@@ -275,3 +275,134 @@ def test_http_adpcm4_wire_roundtrip():
         assert top_wire[0][0] == top_f32[0][0]
     finally:
         srv.shutdown()
+
+
+# ------------------------------------------------------------- adpcm2
+# The 2-bit rung (0.297 B/sample, 1.84x thinner than adpcm4) for
+# maximally transfer-starved links. Same block wire, 2-bit codes;
+# quality was probed BEFORE building (scripts/probe_adpcm_bits.py):
+# ~14 dB SNR on program material, flagship top-1 and top-5 stable.
+
+
+def test_adpcm2_roundtrip_snr_and_wire_size():
+    x = _program()
+    wire = adpcm.adpcm2_encode(x)
+    y = adpcm.adpcm2_decode(wire, n=x.size)
+    assert y.shape == x.shape and y.dtype == np.float32
+    assert _snr_db(x, y) > 10.0  # lands ~14 dB on this program
+    assert wire.nbytes == adpcm.wire_length(x.size, bits=2)
+    assert wire.nbytes < 0.6 * adpcm.wire_length(x.size)  # vs adpcm4
+
+
+def test_adpcm2_numpy_jnp_decode_bit_identical():
+    x = _program(seconds=0.5)
+    for blk in (adpcm.DEFAULT_BLOCK, adpcm.SERVE_BLOCK):
+        wire = adpcm.adpcm2_encode(x, block=blk)
+        y_np = adpcm.adpcm2_decode(wire, n=x.size, block=blk)
+        y_jnp = np.asarray(adpcm.adpcm2_decode(wire, n=x.size, block=blk,
+                                               xp=jnp))
+        assert np.array_equal(y_np, y_jnp), blk
+
+
+def test_adpcm2_cpp_numpy_encoders_bit_identical():
+    from mla_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    x = np.stack([_program(0.7, seed=11 + i) for i in range(5)])
+    got = adpcm.adpcm2_encode(x)  # routes to C++
+    native._LIB = False  # force the numpy path
+    try:
+        want = adpcm.adpcm2_encode(x)
+    finally:
+        native._LIB = None
+    assert np.array_equal(got, want)
+
+
+def test_adpcm2_silence_is_bounded_dither():
+    """2-bit silence is NOT exact (min delta = 7>>1 = 3): it dithers
+    within +/-3 LSB around zero and stays bounded — it is only ever fed
+    to masked rows (inactive ticks / flush padding), never a fold."""
+    x = np.zeros(4096, np.float32)
+    y = adpcm.adpcm2_decode(adpcm.adpcm2_encode(x), n=x.size)
+    assert np.max(np.abs(y)) <= 4 / 32768.0
+
+
+def test_server_adpcm2_matches_float32_scores():
+    """transfer_dtype='adpcm2' end-to-end (on-device 2-bit decode in the
+    tick program): top-1 matches the float32 path; scores within the
+    codec's (coarser) noise budget. Wire-native feed == incremental
+    server-side encode, bit-exact."""
+    import jax
+
+    from mla_tpu.config import Config, ModelConfig
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops.frontend import waveform_to_patches
+    from mla_tpu.serve.server import BatchedStreamingServer
+
+    cfg = Config(
+        name="adpcm2_test",
+        model=ModelConfig(variant="multi_level_attention", trunk="cnn",
+                          n_classes=7, n_blocks=2, hidden_units=32,
+                          conv_channels=(8, 16), convs_per_stage=1,
+                          compute_dtype="float32"),
+    )
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(0)
+    probe = waveform_to_patches(
+        jnp.asarray(rng.standard_normal(16000 * 2).astype(np.float32))[None],
+        cfg.frontend)
+    variables = model.init(jax.random.key(0), probe)
+
+    chunk = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                   chunk_patches=2).chunk_samples
+    n = 2 * chunk + chunk // 3
+    t = np.arange(n) / cfg.frontend.sample_rate
+    x = np.clip(0.4 * np.sin(2 * np.pi * 440 * t)
+                + 0.1 * rng.standard_normal(n), -1, 1).astype(np.float32)
+
+    def run(td):
+        srv = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                     chunk_patches=2, transfer_dtype=td)
+        sid = srv.open()
+        srv.feed(sid, x)
+        srv.drain()
+        srv.flush(sid)
+        return srv.scores(sid)
+
+    ref = run("float32")
+    got = run("adpcm2")
+    assert int(np.argmax(ref)) == int(np.argmax(got))
+    assert np.max(np.abs(ref - got)) < 0.1  # 2-bit noise budget
+
+    whole = len(x) // adpcm.SERVE_BLOCK * adpcm.SERVE_BLOCK
+    wire_bytes = adpcm.adpcm2_encode(
+        np.asarray(np.clip(x[:whole], -1, 1) * 32767.0, np.int16),
+        block=adpcm.SERVE_BLOCK)
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                 chunk_patches=2, transfer_dtype="adpcm2")
+    sid = srv.open()
+    srv.feed(sid, wire_bytes, wire=True)
+    srv.feed(sid, x[whole:])
+    srv.drain()
+    srv.flush(sid)
+    np.testing.assert_array_equal(srv.scores(sid), got)
+
+
+def test_adpcm2_wire_format_golden_frozen():
+    """Same cross-version wire contract as adpcm4's golden: encoder bytes
+    and decoder reconstruction pinned for both block sizes. Version, do
+    not refreeze, on intentional change."""
+    import os
+
+    g = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                             "adpcm2_wire.npz"))
+    x = g["x"]
+    np.testing.assert_array_equal(adpcm.adpcm2_encode(x), g["wire256"])
+    np.testing.assert_array_equal(
+        adpcm.adpcm2_encode(x, block=adpcm.SERVE_BLOCK), g["wire64"])
+    np.testing.assert_array_equal(
+        adpcm.adpcm2_decode(g["wire256"], n=x.size), g["dec256"])
+    np.testing.assert_array_equal(
+        adpcm.adpcm2_decode(g["wire64"], n=x.size, block=adpcm.SERVE_BLOCK),
+        g["dec64"])

@@ -440,11 +440,12 @@ def test_adpcm_x_samples_partial_block(served_adpcm):
 
 
 @pytest.mark.parametrize("transfer_dtype,wire",
-                         [("int16", "int16"), ("uint8", "mulaw")])
+                         [("int16", "int16"), ("uint8", "mulaw"),
+                          ("adpcm2", "adpcm2")])
 def test_compressed_wire_fast_paths(transfer_dtype, wire):
-    """int16 and mu-law wire bodies ride the C++ fast path on matching
-    servers (audio/L16, audio/basic); scores track the tagger on the
-    codec-roundtripped audio."""
+    """int16, mu-law, and 2-bit ADPCM wire bodies ride the C++ fast path
+    on matching servers (audio/L16, audio/basic, audio/adpcm2); scores
+    track the tagger on the codec-roundtripped audio."""
     from mla_tpu.serve.client import TagClient, _WireEncoder
     from mla_tpu.data.audio_io import mulaw_decode, mulaw_encode
 
@@ -468,6 +469,15 @@ def test_compressed_wire_fast_paths(transfer_dtype, wire):
         single = StreamingTagger(cfg, variables, chunk_patches=3)
         if wire == "mulaw":
             single.feed(mulaw_decode(mulaw_encode(audio)))
+            tol = dict(atol=5e-3, rtol=5e-3)
+        elif wire == "adpcm2":
+            from mla_tpu.data import adpcm
+            from mla_tpu.data.audio_io import pcm16_quantize
+
+            single.feed(adpcm.adpcm2_decode(
+                adpcm.adpcm2_encode(pcm16_quantize(audio),
+                                    block=adpcm.SERVE_BLOCK),
+                n=len(audio), block=adpcm.SERVE_BLOCK))
             tol = dict(atol=5e-3, rtol=5e-3)
         else:
             pcm = np.round(np.clip(audio, -1, 1) * 32767.0)
