@@ -243,7 +243,37 @@ def cmd_infer(args):
 
     names = labels_for(cfg.data.dataset, cfg.model.n_classes, args.labels_csv)
     top = np.argsort(-scores)[: args.top_k]
+    if getattr(args, "timeline", None):
+        _write_timeline(cfg, variables, wav, top, names, args.timeline)
     print(_jdump({"top_k": [[names[i], float(scores[i])] for i in top]}))
+
+
+def _write_timeline(cfg, variables, wav, top, names, path):
+    """Per-patch localization CSV (model.timeline): one row per 0.96 s
+    patch, columns prob:<label> (segment classifier) and att:<label>
+    (time-normalized attention weight; uniform = 1/n_patches) for the
+    clip's top-k classes, level-averaged. Uses the one-shot path — the
+    readout is over the whole clip's patch sequence."""
+    import jax.numpy as jnp
+
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops import frontend as fe
+
+    model = build_model(cfg.model)
+    patches = fe.apply_frontend(jnp.asarray(wav)[None], cfg.frontend)
+    tl = model.apply(variables, patches, method="timeline")
+    w = np.mean([np.asarray(wl, np.float32)[0] for wl, _ in tl], axis=0)
+    f = np.mean([np.asarray(fl, np.float32)[0] for _, fl in tl], axis=0)
+    hop_s = (cfg.frontend.example_hop_frames * cfg.frontend.hop_length
+             / cfg.frontend.sample_rate)
+    with open(path, "w") as fh:
+        cols = ",".join(f"prob:{names[i]},att:{names[i]}" for i in top)
+        fh.write(f"patch,time_s,{cols}\n")
+        for t in range(w.shape[0]):
+            vals = ",".join(f"{f[t, i]:.6f},{w[t, i]:.6f}" for i in top)
+            fh.write(f"{t},{t * hop_s:.3f},{vals}\n")
+    print(f"# timeline: {w.shape[0]} patches x top-{len(top)} classes -> {path}",
+          file=sys.stderr)
 
 
 def _load_variables(args, cfg, sample_wav_seconds: float = 2.0):
@@ -563,6 +593,11 @@ def main(argv=None):
     si.add_argument("--top_k", type=int, default=5)
     si.add_argument("--labels_csv", default=None,
                     help="AudioSet class_labels_indices.csv for display names")
+    si.add_argument("--timeline", default=None, metavar="CSV",
+                    help="also write the per-patch localization readout "
+                         "(attention weights + segment probs for the clip's "
+                         "top-k classes) — the attention model's native "
+                         "event-in-time output")
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
 

@@ -158,6 +158,26 @@ class AudioTagger(nn.Module):
             return self.mh.logits(h)  # one (gate, cla) per head
         return [self.pool.logits(h)]  # avg_pool / max_pool
 
+    def timeline(self, x: jnp.ndarray):
+        """Weakly-supervised localization readout (arXiv:1803.02353 §2):
+        per-segment attention weights and class probabilities, one
+        ``(weights [B, T, C], seg_probs [B, T, C])`` pair per level/head.
+
+        Exactly consistent with the clip forward: for every level,
+        ``sum_t weights * seg_probs`` equals that level's pooled vector,
+        so feeding those sums to the variant's finalize tail reproduces
+        ``__call__``'s scores bit-for-bit (tested). The reference family
+        visualizes exactly this pair to localize events in time; the
+        clip-only C15 script never exposed it."""
+        from mla_tpu.ops.attention_pool import attention_timeline
+        from mla_tpu.serve.streaming import stream_activations
+
+        att_act, cla_act = stream_activations(self.cfg)
+        return [
+            attention_timeline(g, c, att_act, cla_act)
+            for g, c in self.segment_logits(x)
+        ]
+
     def finalize_multi_level(self, pooled: List[jnp.ndarray]) -> jnp.ndarray:
         """Concat per-level pooled vectors -> final FC + sigmoid (streaming tail)."""
         z = jnp.concatenate(pooled, axis=-1)

@@ -84,6 +84,45 @@ def attention_pool(
     return num / jnp.maximum(den, _EPS)
 
 
+def attention_timeline(
+    gate_logits: jax.Array,
+    cla_logits: jax.Array,
+    att_activation: str = "exp",
+    cla_act: str = "sigmoid",
+    time_axis: int = -2,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-segment readout of the pooled decision: the paper family's
+    weakly-supervised localization (arXiv:1803.02353 §2 — the clip score
+    is y_c = sum_t w_{t,c} f_{t,c}, so (w, f) localizes each class in
+    time; reference C15 only prints clip scores, the timeline is the
+    model's native event readout).
+
+    Returns ``(weights, seg_probs)``, both [..., T, C]:
+      - ``weights`` normalized over T per class (sums to 1 where any
+        segment is valid); for the ``max`` gate they are the argmax
+        indicator (split across ties), so sum_t w*f == max_t f.
+      - ``seg_probs`` = cla_activation(cla_logits), the per-segment
+        classifier.
+    Exactly consistent with :func:`attention_pool`:
+    ``sum_t weights * seg_probs == attention_pool(...)``.
+    """
+    f = cla_activation(cla_logits, cla_act)
+    if att_activation == "max":
+        # gate logits only mark validity here (-inf = masked), matching
+        # update_stream_state's max mode
+        valid = jnp.isfinite(gate_logits)
+        fv = jnp.where(valid, f, -jnp.inf)
+        m = jnp.max(fv, axis=time_axis, keepdims=True)
+        att = ((fv >= m) & valid).astype(f.dtype)
+    elif att_activation == "exp":
+        m = jnp.max(gate_logits, axis=time_axis, keepdims=True)
+        att = jnp.exp(gate_logits - jnp.where(jnp.isfinite(m), m, 0.0))
+    else:
+        att = gate_activation(gate_logits, att_activation)
+    w = att / jnp.maximum(jnp.sum(att, axis=time_axis, keepdims=True), _EPS)
+    return w, f
+
+
 class StreamState(NamedTuple):
     """O(1) per-clip streaming state: running-max-renormalized accumulators.
 

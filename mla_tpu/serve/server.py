@@ -424,12 +424,11 @@ class BatchedStreamingServer:
             if len(self._rem[sid]):
                 # fold the sub-block remainder into one final wire block
                 # (edge-padded by the encoder; the pad lands only in
-                # patches n_valid masks out)
-                from mla_tpu.data import adpcm as _ad
-
+                # patches n_valid masks out) — with the SERVER's codec:
+                # a 4-bit encode into a 2-bit wire buffer is byte salad
                 buf = np.concatenate([
-                    buf, _ad.adpcm4_encode(self._rem[sid],
-                                           block=self._adpcm["block"])])
+                    buf, self._adpcm["encode"](self._rem[sid],
+                                               block=self._adpcm["block"])])
                 self._rem[sid] = np.zeros(0, np.int16)
         else:
             n_buffered = len(buf)

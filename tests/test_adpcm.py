@@ -389,6 +389,63 @@ def test_server_adpcm2_matches_float32_scores():
     np.testing.assert_array_equal(srv.scores(sid), got)
 
 
+def test_server_adpcm2_flush_remainder_uses_2bit_encode():
+    """flush() folds a sub-block sample remainder with the SERVER's codec.
+
+    Regression: it called adpcm4_encode unconditionally, so an adpcm2
+    server's flush appended 4-bit wire bytes (36/block) into the 2-bit
+    buffer (20/block) — the tail decoded as byte salad. Hidden from the
+    score tests because both compared runs shared the path. Here we
+    capture the wire row flush dispatches and require it to decode
+    bit-exactly as the direct 2-bit encode of the same samples."""
+    import jax
+
+    from mla_tpu.config import Config, ModelConfig
+    from mla_tpu.data.audio_io import pcm16_quantize
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops.frontend import waveform_to_patches
+    from mla_tpu.serve.server import BatchedStreamingServer
+
+    cfg = Config(
+        name="adpcm2_flush_test",
+        model=ModelConfig(variant="multi_level_attention", trunk="cnn",
+                          n_classes=7, n_blocks=2, hidden_units=32,
+                          conv_channels=(8, 16), convs_per_stage=1,
+                          compute_dtype="float32"),
+    )
+    model = build_model(cfg.model)
+    rng = np.random.default_rng(5)
+    probe = waveform_to_patches(
+        jnp.asarray(rng.standard_normal(16000 * 2).astype(np.float32))[None],
+        cfg.frontend)
+    variables = model.init(jax.random.key(0), probe)
+
+    srv = BatchedStreamingServer(cfg, variables, max_streams=1,
+                                 chunk_patches=2, transfer_dtype="adpcm2")
+    sid = srv.open()
+    n = adpcm.SERVE_BLOCK // 2 + 5  # sub-block: all of it lands in _rem
+    x = _program(seconds=1.0, seed=7)[:n]
+    srv.feed(sid, x)
+    assert len(srv._rem[sid]) == n and len(srv._bufs[sid]) == 0
+
+    captured = {}
+    orig = srv._dispatch
+
+    def spy(wav, active, n_valid):
+        captured["row"] = np.asarray(wav)[sid].copy()
+        return orig(wav, active, n_valid)
+
+    srv._dispatch = spy
+    assert srv.flush(sid) is True
+    wb = adpcm.wire_block_bytes(adpcm.SERVE_BLOCK, bits=2)
+    got = adpcm.adpcm2_decode(captured["row"][:wb], n=adpcm.SERVE_BLOCK,
+                              block=adpcm.SERVE_BLOCK)
+    want = adpcm.adpcm2_decode(
+        adpcm.adpcm2_encode(pcm16_quantize(x), block=adpcm.SERVE_BLOCK),
+        n=adpcm.SERVE_BLOCK, block=adpcm.SERVE_BLOCK)
+    np.testing.assert_array_equal(got[:n], want[:n])
+
+
 def test_adpcm2_wire_format_golden_frozen():
     """Same cross-version wire contract as adpcm4's golden: encoder bytes
     and decoder reconstruction pinned for both block sizes. Version, do
