@@ -459,12 +459,14 @@ def cmd_serve(args):
         srv = create_native_server(
             cfg, variables, port=args.port, host=args.host,
             max_streams=args.max_streams, chunk_patches=args.chunk_patches,
-            transfer_dtype=args.transfer_dtype, mesh=mesh)
+            transfer_dtype=args.transfer_dtype, mesh=mesh,
+            timeline_cap=args.timeline_cap)
     else:
         srv = create_server(cfg, variables, port=args.port, host=args.host,
                             max_streams=args.max_streams,
                             chunk_patches=args.chunk_patches,
-                            transfer_dtype=args.transfer_dtype, mesh=mesh)
+                            transfer_dtype=args.transfer_dtype, mesh=mesh,
+                            timeline_cap=args.timeline_cap)
     host, port = srv.server_address[:2]
     sharded = f", streams sharded over {mesh.shape}" if mesh is not None else ""
     front = "native C++ front" if args.native else "stdlib front"
@@ -504,11 +506,36 @@ def cmd_export(args):
 
 def cmd_tag(args):
     """Client side of ``serve``: tag a wav through a RUNNING service,
-    uploading in the chosen wire encoding (serve/client.py)."""
+    uploading in the chosen wire encoding (serve/client.py). With
+    ``--timeline CSV`` the clip goes through the stream API instead of
+    /v1/tag so the per-patch localization window can be fetched after the
+    flush (requires the service to run with --timeline_cap > 0)."""
     from mla_tpu.serve.client import TagClient
 
     c = TagClient(args.url)
-    if args.wire == "wav":
+    if getattr(args, "timeline", None):
+        from mla_tpu.data import audio_io
+
+        sr = int(c.health().get("sample_rate", 16000))
+        wav = audio_io.load_wav_16k(args.wav, sr)
+        wire = "int16" if args.wire == "wav" else args.wire
+        with c.stream(wire=wire) as s:
+            s.feed(wav)
+            s.flush()
+            top = s.scores(top_k=args.top_k)
+            tl = s.timeline(top_k=args.top_k)
+        with open(args.timeline, "w") as fh:
+            names = [n for n, _ in tl["classes"]]
+            cols = ",".join(f"prob:{n},att:{n}" for n in names)
+            fh.write(f"patch,time_s,{cols}\n")
+            for t, (wrow, frow) in enumerate(zip(tl["weights"], tl["probs"])):
+                patch = tl["start_patch"] + t
+                vals = ",".join(f"{f:.6f},{w:.6f}"
+                                for w, f in zip(wrow, frow))
+                fh.write(f"{patch},{patch * tl['hop_s']:.3f},{vals}\n")
+        print(f"# timeline: {len(tl['weights'])} patches x top-{len(names)} "
+              f"classes -> {args.timeline}", file=sys.stderr)
+    elif args.wire == "wav":
         top = c.tag_file(args.wav, top_k=args.top_k)
     else:
         from mla_tpu.data import audio_io
@@ -647,6 +674,10 @@ def main(argv=None):
                          "serve_front.cpp): HTTP parsing, stream buffers, "
                          "and backpressure run GIL-free; Python only runs "
                          "device ticks and rare control requests")
+    ss.add_argument("--timeline_cap", type=int, default=0,
+                    help="enable GET /v1/streams/<sid>/timeline: record "
+                         "the last N patches' localization readout in an "
+                         "on-device ring inside the tick program (0 = off)")
     ss.add_argument("--set", nargs="*")
     ss.set_defaults(fn=cmd_serve)
 
@@ -659,6 +690,10 @@ def main(argv=None):
                              "adpcm2"],
                     help="upload encoding; adpcm4 is ~1/8 of float32 and "
                          "decodes on the serving device")
+    sg.add_argument("--timeline", default=None, metavar="CSV",
+                    help="also fetch the per-patch localization window "
+                         "(server must run with --timeline_cap > 0) and "
+                         "write it as CSV, like infer --timeline")
     sg.set_defaults(fn=cmd_tag)
 
     sc = sub.add_parser("cv", help="k-fold cross-validation (ESC-50/US8K protocol)")

@@ -123,6 +123,99 @@ def attention_timeline(
     return w, f
 
 
+class TimelineState(NamedTuple):
+    """O(cap) per-stream localization ring (the streaming counterpart of
+    :func:`attention_timeline`): the last ``cap`` patches' raw gate logits
+    and per-segment class probs, per level, kept ON DEVICE and written
+    inside the same jitted tick program as the StreamState fold — zero
+    extra host traffic per tick; a client fetches the window only when it
+    asks for a timeline. Static shapes throughout (XLA-friendly): a
+    wrap-around cursor ring, masked scatter for partially-valid chunks.
+    """
+
+    g: jax.Array  # [S, cap, L, C] raw gate logits of the last cap patches
+    f: jax.Array  # [S, cap, L, C] per-segment class probs (post-activation)
+    cursor: jax.Array  # [S] int32 next ring slot to write
+    count: jax.Array  # [S] int32 total valid patches ever folded
+
+
+def init_timeline_state(n_streams: int, cap: int, n_levels: int,
+                        n_classes: int, dtype=jnp.float32) -> TimelineState:
+    return TimelineState(
+        g=jnp.zeros((n_streams, cap, n_levels, n_classes), dtype),
+        f=jnp.zeros((n_streams, cap, n_levels, n_classes), dtype),
+        cursor=jnp.zeros(n_streams, jnp.int32),
+        count=jnp.zeros(n_streams, jnp.int32),
+    )
+
+
+def update_timeline_state(
+    tl: TimelineState,
+    gate_stack: jax.Array,  # [S, P, L, C] raw gate logits for this chunk
+    prob_stack: jax.Array,  # [S, P, L, C] per-segment class probs
+    active: jax.Array,  # [S] bool
+    n_valid: jax.Array,  # [S] int32 valid patches (<= P; a flush pads)
+) -> TimelineState:
+    """Fold one chunk's per-patch readout into the ring. Writes are masked
+    per (stream, patch): inactive rows and padded flush patches keep the
+    existing ring content (an unconditional write would clobber up to
+    P - n_valid GOOD older entries once the ring has wrapped). Requires
+    P <= cap so one chunk's slots are unique."""
+    S, P = gate_stack.shape[:2]
+    cap = tl.g.shape[1]
+    s_idx = jnp.arange(S)[:, None]  # [S, 1]
+    p_idx = jnp.arange(P)[None, :]  # [1, P]
+    idx = (tl.cursor[:, None] + p_idx) % cap  # [S, P]
+    valid = (active[:, None] & (p_idx < n_valid[:, None]))[..., None, None]
+    g = tl.g.at[s_idx, idx].set(jnp.where(valid, gate_stack, tl.g[s_idx, idx]))
+    f = tl.f.at[s_idx, idx].set(jnp.where(valid, prob_stack, tl.f[s_idx, idx]))
+    adv = jnp.where(active, n_valid, 0).astype(jnp.int32)
+    return TimelineState(
+        g=g, f=f,
+        cursor=(tl.cursor + adv) % cap,
+        count=tl.count + adv,
+    )
+
+
+def window_timeline(gate_window, prob_window, num, den, m,
+                    att_activation: str = "exp"):
+    """Final per-patch attention weights for a RECORDED window of gate
+    logits, normalized against the stream's final :class:`StreamState`
+    (num, den, m rows) — host numpy math, the streaming counterpart of
+    :func:`attention_timeline`. For the exp gate the weights are globally
+    exact (w_t = exp(g_t - m_fin) / den_fin): when the ring has dropped
+    old patches, the window's weights sum to the fraction of attention
+    mass it covers (<= 1) — an honest readout. For the max gate, weights
+    mark the window's copies of the global argmax (all-zero if the
+    arg-maximizing patch fell off the ring), tie-split within the window.
+
+    Returns ``(weights, prob_window)``, both [T_window, C] float32.
+    """
+    import numpy as np
+
+    g = np.asarray(gate_window, np.float32)
+    f = np.asarray(prob_window, np.float32)
+    num = np.asarray(num, np.float32)
+    den = np.asarray(den, np.float32)
+    m = np.asarray(m, np.float32)
+    if att_activation == "max":
+        winners = (f >= num) & np.isfinite(g)
+        w = winners / np.maximum(winners.sum(axis=0, keepdims=True), 1)
+        return w.astype(np.float32), f
+    if att_activation == "exp":
+        safe_m = np.where(np.isfinite(m), m, 0.0)
+        att = np.exp(g - safe_m[None, :])
+    elif att_activation == "sigmoid":
+        att = 1.0 / (1.0 + np.exp(-g))
+    elif att_activation == "relu":
+        att = np.maximum(g, 0.0)
+    elif att_activation == "softplus":
+        att = np.logaddexp(g, 0.0)
+    else:
+        raise ValueError(f"unknown att_activation {att_activation!r}")
+    return (att / np.maximum(den[None, :], _EPS)).astype(np.float32), f
+
+
 class StreamState(NamedTuple):
     """O(1) per-clip streaming state: running-max-renormalized accumulators.
 

@@ -246,6 +246,15 @@ class TagStream:
             "GET", f"/v1/streams/{self.sid}/scores?top_k={top_k}")
         return [(name, float(p)) for name, p in out["top_k"]]
 
+    def timeline(self, top_k: int = 5) -> dict:
+        """Per-patch localization window (requires the server to run with
+        timeline_cap > 0): {"start_patch", "hop_s", "classes": [[label,
+        clip_prob], ...], "weights": [[...]], "probs": [[...]]} — one row
+        per 0.96 s patch, columns = the stream's current top-k classes
+        (level-mean attention weight and segment prob)."""
+        return self._c._request(
+            "GET", f"/v1/streams/{self.sid}/timeline?top_k={top_k}")
+
     def close(self):
         if self.sid is not None:
             self._c._request("DELETE", f"/v1/streams/{self.sid}")

@@ -25,6 +25,13 @@ API (JSON unless noted):
         off when the server host-decodes the wire.
     POST   /v1/streams/<sid>/flush          -> {"flushed": bool}
     GET    /v1/streams/<sid>/scores?top_k=5 -> {"top_k": [[label, p], ...]}
+    GET    /v1/streams/<sid>/timeline?top_k=5
+        per-patch localization window (requires timeline_cap > 0):
+        {"start_patch", "hop_s", "classes": [[label, p], ...],
+         "weights": [[...]], "probs": [[...]]} — one row per 0.96 s patch
+        of the last timeline_cap patches, columns = the top-k classes,
+        level-mean attention weight + segment prob (the paper family's
+        weakly-supervised event localization, arXiv:1803.02353 §2)
     DELETE /v1/streams/<sid>                -> {"closed": true}
     POST   /v1/tag?top_k=5                  one-shot: whole clip in (any
                                             audio format above) -> top-k
@@ -48,7 +55,8 @@ from mla_tpu.config import Config
 from mla_tpu.data.labels import labels_for
 from mla_tpu.serve.server import BatchedStreamingServer
 
-_STREAM_RE = re.compile(r"^/v1/streams/(\d+)(?:/(audio|flush|scores))?$")
+_STREAM_RE = re.compile(
+    r"^/v1/streams/(\d+)(?:/(audio|flush|scores|timeline))?$")
 
 
 class _BodyTooLarge(ValueError):
@@ -135,6 +143,28 @@ def _host_adpcm_decode(samples: np.ndarray, bits: int,
     return dec(samples, n=n_samples, block=SERVE_BLOCK)
 
 
+def _timeline_payload(cfg, labels, start_patch, levels, scores,
+                      top_k: int) -> Dict:
+    """JSON body for GET .../timeline: level-MEAN attention weights and
+    segment probs for the stream's current top-k classes, one row per
+    0.96 s patch in the recorded window (shared by the stdlib and native
+    tiers so the wire format stays identical)."""
+    order = np.argsort(-scores)[:top_k]
+    w = np.mean([wl for wl, _ in levels], axis=0)  # [T, C]
+    f = np.mean([fl for _, fl in levels], axis=0)
+    fcfg = cfg.frontend
+    hop_s = fcfg.example_hop_frames * fcfg.hop_length / fcfg.sample_rate
+    return {
+        "start_patch": int(start_patch),
+        "hop_s": hop_s,
+        "classes": [[labels[i], float(scores[i])] for i in order],
+        "weights": [[float(w[t, i]) for i in order]
+                    for t in range(w.shape[0])],
+        "probs": [[float(f[t, i]) for i in order]
+                  for t in range(f.shape[0])],
+    }
+
+
 class _TaggerState:
     """Shared state behind the handler: the device server + its tick loop.
 
@@ -146,13 +176,14 @@ class _TaggerState:
 
     def __init__(self, cfg: Config, variables: Dict, max_streams: int,
                  chunk_patches: int, transfer_dtype: str, mesh=None,
-                 batch_grace: float = 0.005):
+                 batch_grace: float = 0.005, timeline_cap: int = 0):
         from mla_tpu.serve.ticker import TickLoop
 
         self.cfg = cfg
         self.server = BatchedStreamingServer(
             cfg, variables, max_streams=max_streams, chunk_patches=chunk_patches,
             transfer_dtype=transfer_dtype, mesh=mesh,
+            timeline_cap=timeline_cap,
         )
         # compile the tick/finalize programs before traffic: a cold first
         # tick at high max_streams can outlast the 120 s sync-feed wait
@@ -244,6 +275,23 @@ class _Handler(BaseHTTPRequestHandler):
                 return
             order = np.argsort(-scores)[:top_k]
             self._reply(200, {"top_k": [[st.labels[i], float(scores[i])] for i in order]})
+            return
+        if m and m.group(2) == "timeline":
+            sid = int(m.group(1))
+            try:
+                scores = st.ticker.scores(sid)
+                start, levels = st.ticker.timeline(sid)
+            except KeyError as e:
+                self._error(404, str(e))
+                return
+            except RuntimeError as e:
+                # no audio yet -> 409; timeline disabled -> 409 too (the
+                # resource exists, the server just wasn't started with it)
+                self._error(409, str(e))
+                return
+            self._reply(200, _timeline_payload(
+                st.cfg, st.labels, start, levels, scores,
+                self._top_k_param()))
             return
         self._error(404, f"no route {self.path}")
 
@@ -397,6 +445,7 @@ def create_server(
     transfer_dtype: str = "int16",
     mesh=None,
     batch_grace: float = 0.005,
+    timeline_cap: int = 0,
 ) -> ThreadingHTTPServer:
     """Build the HTTP server (not yet serving; call .serve_forever()).
     transfer_dtype="int16" (default) ships PCM16 to the device and
@@ -412,9 +461,13 @@ def create_server(
     max_streams must divide by the axis size. CLI: ``serve
     --shard_streams``. ``batch_grace``: how long the tick thread waits
     for more streams to fill a chunk before dispatching (serve/ticker.py);
-    request handling never runs device code — it overlaps with ticks."""
+    request handling never runs device code — it overlaps with ticks.
+    ``timeline_cap`` > 0 enables GET /v1/streams/<sid>/timeline: the
+    last timeline_cap patches' localization readout, recorded on device
+    inside the tick program (zero per-tick host traffic)."""
     state = _TaggerState(cfg, variables, max_streams, chunk_patches,
-                         transfer_dtype, mesh=mesh, batch_grace=batch_grace)
+                         transfer_dtype, mesh=mesh, batch_grace=batch_grace,
+                         timeline_cap=timeline_cap)
     handler = type("Handler", (_Handler,), {"state": state})
     srv = _TaggerHTTPServer((host, port), handler)
     srv.state = state

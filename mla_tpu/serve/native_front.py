@@ -171,7 +171,8 @@ class NativeTagServer:
                  host: str = "127.0.0.1", max_streams: int = 8,
                  chunk_patches: int = 5, transfer_dtype: str = "int16",
                  mesh=None, batch_grace: float = 0.005, n_workers: int = 2,
-                 max_body_bytes: int = 64 * 1024 * 1024):
+                 max_body_bytes: int = 64 * 1024 * 1024,
+                 timeline_cap: int = 0):
         lib = _lib()
         if lib is None:
             raise RuntimeError(
@@ -183,7 +184,7 @@ class NativeTagServer:
         self.srv = BatchedStreamingServer(
             cfg, variables, max_streams=max_streams,
             chunk_patches=chunk_patches, transfer_dtype=transfer_dtype,
-            mesh=mesh)
+            mesh=mesh, timeline_cap=timeline_cap)
         # compile tick/finalize BEFORE the C++ front starts accepting:
         # a cold first tick at high max_streams can outlast the C++
         # sync-feed wait (SYNC_TIMEOUT_S) and 503 every early client
@@ -277,7 +278,8 @@ class NativeTagServer:
             active = act_buf.astype(bool)
             dev_args = srv._put_batch(wav, active, n_valid)
             with self.dev:
-                srv.states = srv._batched_step(srv.states, *dev_args)
+                srv.states, srv.tl = srv._batched_step(
+                    srv.states, srv.tl, *dev_args)
             with self.host_lock:
                 srv._fed |= active
             self.ticker.ticks += 1
@@ -323,7 +325,8 @@ class NativeTagServer:
             m = re.search(r"top_k=(\d+)", query)
             return int(m.group(1)) if m else default
 
-        m = re.match(r"^/v1/streams/(\d+)(?:/(audio|flush|scores))?$", path)
+        m = re.match(
+            r"^/v1/streams/(\d+)(?:/(audio|flush|scores|timeline))?$", path)
         if method == "POST" and path == "/v1/streams":
             try:
                 sid = self._open()
@@ -352,6 +355,18 @@ class NativeTagServer:
                 order = np.argsort(-scores)[: top_k_param()]
                 return 200, {"top_k": [[self.labels[i], float(scores[i])]
                                        for i in order]}
+            if method == "GET" and leaf == "timeline":
+                from mla_tpu.serve.http import _timeline_payload
+
+                try:
+                    scores = self._scores(sid)
+                    start, levels = self._timeline(sid)
+                except KeyError as e:
+                    raise _HTTPError(404, str(e))
+                except RuntimeError as e:
+                    raise _HTTPError(409, str(e))
+                return 200, _timeline_payload(self.cfg, self.labels, start,
+                                              levels, scores, top_k_param())
             if method == "DELETE" and leaf is None:
                 try:
                     self._close(sid)
@@ -478,6 +493,15 @@ class NativeTagServer:
         # ~27 ms tunnel fetch outside every lock (states are immutable)
         return np.asarray(self.srv._finalize(states))[sid]
 
+    def _timeline(self, sid: int):
+        self._lib.sf_wait_drained(self._h, sid, _SYNC_TIMEOUT_MS)
+        with self.host_lock:
+            self.srv._check(sid)
+            if not self.srv._fed[sid]:
+                raise RuntimeError(f"stream {sid} has no processed audio yet")
+            states, tl = self.srv.states, self.srv.tl
+        return self.srv.timeline_from(states, tl, sid)
+
     def _tag(self, body: bytes, ctype: str, xs: Optional[int], top_k: int):
         """One-shot tag (reference C15): transient slot on the shared
         batched program, released afterwards."""
@@ -513,6 +537,7 @@ def create_native_server(
     transfer_dtype: str = "int16",
     mesh=None,
     batch_grace: float = 0.005,
+    timeline_cap: int = 0,
 ) -> NativeTagServer:
     """Drop-in for serve.http.create_server with the C++ front (same
     arguments, same HTTP API; serving starts immediately — serve_forever
@@ -520,4 +545,4 @@ def create_native_server(
     return NativeTagServer(
         cfg, variables, port=port, host=host, max_streams=max_streams,
         chunk_patches=chunk_patches, transfer_dtype=transfer_dtype,
-        mesh=mesh, batch_grace=batch_grace)
+        mesh=mesh, batch_grace=batch_grace, timeline_cap=timeline_cap)

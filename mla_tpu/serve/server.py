@@ -45,12 +45,20 @@ class BatchedStreamingServer:
 
     def __init__(self, cfg: Config, variables: Dict, max_streams: int = 8,
                  chunk_patches: int = 5, transfer_dtype: str = "float32",
-                 mesh=None, mesh_axis: str = "data"):
+                 mesh=None, mesh_axis: str = "data", timeline_cap: int = 0):
         """``mesh`` shards the STREAM axis over ``mesh[mesh_axis]`` (T11 at
         pod scale): per-tick front-end+trunk+logits and the per-stream
         accumulator states partition across devices with zero cross-device
         communication (streams are independent); host work is unchanged.
-        max_streams must divide by the axis size."""
+        max_streams must divide by the axis size.
+
+        ``timeline_cap`` > 0 keeps an on-device per-stream localization
+        ring (ops.attention_pool.TimelineState): the last timeline_cap
+        patches' gate logits + segment probs per level, written inside
+        the SAME jitted tick program — zero extra host traffic until a
+        client asks (``timeline()``). ~S*cap*levels*classes*8 bytes of
+        HBM (flagship at S=8, cap=64: ~6.5 MB). 0 (default) disables it
+        and leaves the tick program unchanged."""
         if cfg.model.variant not in STREAMING_VARIANTS:
             raise ValueError(f"unknown streaming variant {cfg.model.variant!r}; pick from {STREAMING_VARIANTS}")
         if transfer_dtype not in ("float32", "int16", "uint8", "adpcm4",
@@ -130,6 +138,15 @@ class BatchedStreamingServer:
         self._fed = np.zeros(self.S, bool)
         c = cfg.model.n_classes
         self.states = [ap.init_stream_state((self.S, c)) for _ in range(self._n_levels)]
+        self.timeline_cap = int(timeline_cap)
+        if self.timeline_cap and self.timeline_cap < chunk_patches:
+            # one chunk's ring slots must be unique (masked scatter)
+            raise ValueError(
+                f"timeline_cap {timeline_cap} must be >= chunk_patches "
+                f"{chunk_patches}")
+        self.tl = (ap.init_timeline_state(self.S, self.timeline_cap,
+                                          self._n_levels, c)
+                   if self.timeline_cap else None)
         self._wav_sh = self._vec_sh = None
         jit_kwargs = {}
         if mesh is not None:
@@ -146,12 +163,19 @@ class BatchedStreamingServer:
             st_sh = [ap.StreamState(num=row, den=row, m=row)
                      for _ in range(self._n_levels)]
             self.states = jax.device_put(self.states, st_sh)
+            tl_sh = None
+            if self.tl is not None:
+                ring = NamedSharding(mesh, P(mesh_axis, None, None, None))
+                tl_sh = ap.TimelineState(g=ring, f=ring,
+                                         cursor=self._vec_sh,
+                                         count=self._vec_sh)
+                self.tl = jax.device_put(self.tl, tl_sh)
             jit_kwargs = dict(
-                in_shardings=(st_sh, row, self._vec_sh, self._vec_sh),
-                out_shardings=st_sh,
+                in_shardings=(st_sh, tl_sh, row, self._vec_sh, self._vec_sh),
+                out_shardings=(st_sh, tl_sh),
             )
 
-        def batched_step(states, wav, active, n_valid):
+        def batched_step(states, tl, wav, active, n_valid):
             """wav [S, chunk_samples] (f32, or PCM16 dequantized here on
             device); active [S] bool — fold only active rows; n_valid [S]
             int — per-stream count of REAL patches in the chunk (a flush
@@ -177,17 +201,27 @@ class BatchedStreamingServer:
             levels = self.model.apply(self.variables, patches, method="segment_logits")
             p = patches.shape[1]
             tmask = jnp.arange(p)[None, :] < n_valid[:, None]  # [S, P]
+            att_act, cla_act = stream_activations(cfg.model)
             new_states = []
             for st, (g, c_) in zip(states, levels):
                 g = jnp.where(tmask[..., None], g, -jnp.inf)
-                upd = ap.update_stream_state(st, g, c_, *stream_activations(cfg.model))
+                upd = ap.update_stream_state(st, g, c_, att_act, cla_act)
                 mask = active[:, None]
                 new_states.append(ap.StreamState(
                     num=jnp.where(mask, upd.num, st.num),
                     den=jnp.where(mask, upd.den, st.den),
                     m=jnp.where(mask, upd.m, st.m),
                 ))
-            return new_states
+            if tl is not None:
+                # per-patch localization ring: raw gate logits + segment
+                # probs, masked to valid patches (see TimelineState)
+                g_stack = jnp.stack([g for g, _ in levels], axis=2)
+                f_stack = jnp.stack(
+                    [ap.cla_activation(c_, cla_act) for _, c_ in levels],
+                    axis=2)
+                tl = ap.update_timeline_state(tl, g_stack, f_stack,
+                                              active, n_valid)
+            return new_states, tl
 
         def finalize(states):
             return stream_finalize_scores(
@@ -205,8 +239,8 @@ class BatchedStreamingServer:
                 jax.device_put(n_valid, self._vec_sh))
 
     def _dispatch(self, wav, active, n_valid):
-        self.states = self._batched_step(
-            *(self.states,) + self._put_batch(wav, active, n_valid)
+        self.states, self.tl = self._batched_step(
+            *(self.states, self.tl) + self._put_batch(wav, active, n_valid)
         )
 
     def warmup(self):
@@ -221,8 +255,8 @@ class BatchedStreamingServer:
         wav = self._blank_tile()
         active = np.zeros(self.S, bool)
         n_valid = np.full(self.S, self.chunk_patches, np.int32)
-        self.states = self._batched_step(
-            *(self.states,) + self._put_batch(wav, active, n_valid)
+        self.states, self.tl = self._batched_step(
+            *(self.states, self.tl) + self._put_batch(wav, active, n_valid)
         )
         np.asarray(self._finalize(self.states))  # compile + device sync
 
@@ -253,6 +287,14 @@ class BatchedStreamingServer:
             )
             for st in self.states
         ]
+        if self.tl is not None:
+            # count=0 hides the slot's stale ring rows; new writes start
+            # at cursor 0 and overwrite them before they become readable
+            self.tl = ap.TimelineState(
+                g=self.tl.g, f=self.tl.f,
+                cursor=self.tl.cursor.at[sid].set(0),
+                count=self.tl.count.at[sid].set(0),
+            )
         self._fed[sid] = False
 
     def _check(self, sid: int):
@@ -459,3 +501,27 @@ class BatchedStreamingServer:
         if not self._fed[sid]:
             raise RuntimeError(f"stream {sid} has no processed audio yet")
         return np.asarray(self._finalize(self.states))[sid]
+
+    def timeline(self, sid: int):
+        """Per-patch localization window for a stream: the ring's last
+        ``min(count, timeline_cap)`` patches' (attention weight, segment
+        prob) per level, weights normalized against the stream's FINAL
+        accumulator state (ops.attention_pool.window_timeline — globally
+        exact for the exp gate). Returns ``(start_patch, levels)`` where
+        ``levels`` is one ``(weights [T, C], probs [T, C])`` pair per
+        level/head and ``start_patch`` is the absolute index of the
+        window's first patch. Concurrent fronts snapshot (states, tl)
+        under their locks and call :meth:`timeline_from` instead."""
+        self._check(sid)
+        if not self._fed[sid]:
+            raise RuntimeError(f"stream {sid} has no processed audio yet")
+        return self.timeline_from(self.states, self.tl, sid)
+
+    def timeline_from(self, states, tl, sid: int):
+        """Timeline readout from a snapshot of (states, tl) — states are
+        immutable JAX arrays, so concurrent fronts take the snapshot under
+        their state lock and run the ~1 MB window fetch outside it."""
+        from mla_tpu.serve.streaming import read_timeline
+
+        att_act, _ = stream_activations(self.cfg.model)
+        return read_timeline(states, tl, sid, att_act)

@@ -89,6 +89,34 @@ def n_stream_levels(mcfg) -> int:
     return 1
 
 
+def read_timeline(states, tl, sid: int, att_activation: str):
+    """Decode one stream's localization ring against its final accumulator
+    state: ``(start_patch, [(weights [T, C], probs [T, C]) per level])``,
+    oldest patch first, weights via ops.attention_pool.window_timeline
+    (globally exact for the exp gate). Shared by StreamingTagger, the
+    batched server, and both HTTP tiers so every surface reads the same
+    math. One on-demand fetch of the [cap, L, C] ring rows (~1 MB at the
+    flagship's cap=64) — the per-tick hot path never fetches."""
+    if tl is None:
+        raise RuntimeError(
+            "timeline disabled; construct with timeline_cap > 0")
+    g = np.asarray(tl.g[sid])  # [cap, L, C]
+    f = np.asarray(tl.f[sid])
+    cur = int(tl.cursor[sid])
+    cnt = int(tl.count[sid])
+    cap = g.shape[0]
+    n = min(cnt, cap)
+    idx = (cur - n + np.arange(n)) % cap  # oldest -> newest
+    levels = []
+    for li, st in enumerate(states):
+        w, fw = ap.window_timeline(
+            g[idx, li], f[idx, li],
+            np.asarray(st.num[sid]), np.asarray(st.den[sid]),
+            np.asarray(st.m[sid]), att_activation)
+        levels.append((w, fw))
+    return cnt - n, levels
+
+
 def stream_finalize_scores(model, variables, variant: str, states) -> jnp.ndarray:
     """Pooled accumulator states -> clip scores (the variant's streaming tail).
     Shared by the single-stream tagger, the batched server, and the
@@ -110,7 +138,12 @@ class StreamingTagger:
     >>> scores = tagger.scores()          # may be called mid-stream too
     """
 
-    def __init__(self, cfg: Config, variables: Dict, chunk_patches: int = 10):
+    def __init__(self, cfg: Config, variables: Dict, chunk_patches: int = 10,
+                 timeline_cap: int = 0):
+        """``timeline_cap`` > 0 additionally records the last timeline_cap
+        patches' (gate logits, segment probs) in an on-device ring inside
+        the same jitted chunk program (ops.attention_pool.TimelineState);
+        read it with :meth:`timeline`. 0 (default) disables."""
         if cfg.model.variant not in STREAMING_VARIANTS:
             raise ValueError(f"unknown streaming variant {cfg.model.variant!r}; pick from {STREAMING_VARIANTS}")
         self.cfg = cfg
@@ -118,6 +151,11 @@ class StreamingTagger:
         self.variables = variables
         self.chunk_patches = chunk_patches
         self.chunk_samples = _samples_per_patches(cfg.frontend, chunk_patches)
+        self.timeline_cap = int(timeline_cap)
+        if self.timeline_cap and self.timeline_cap < chunk_patches:
+            raise ValueError(
+                f"timeline_cap {timeline_cap} must be >= chunk_patches "
+                f"{chunk_patches}")
         self._buf = np.zeros(0, np.float32)
         self._n_levels = n_stream_levels(cfg.model)
         self.reset()
@@ -125,13 +163,29 @@ class StreamingTagger:
         att_act, cla_act = stream_activations(cfg.model)
         self._acts = (att_act, cla_act)
 
-        def chunk_step(states, wav):
+        def fold_timeline(tl, levels, n_valid: int):
+            """Append one chunk's per-patch readout to the device ring
+            (no-op when disabled). Shapes mirror the batched server's
+            update with S=1."""
+            if tl is None:
+                return None
+            g_stack = jnp.stack([g for g, _ in levels], axis=2)
+            f_stack = jnp.stack(
+                [ap.cla_activation(c, cla_act) for _, c in levels], axis=2)
+            return ap.update_timeline_state(
+                tl, g_stack, f_stack,
+                jnp.ones(1, bool), jnp.full(1, n_valid, jnp.int32))
+
+        self._fold_timeline = fold_timeline
+
+        def chunk_step(states, tl, wav):
             patches = fe.apply_frontend(wav, cfg.frontend)  # [1, P, 96, 64]
             levels = self.model.apply(self.variables, patches, method="segment_logits")
-            return [
+            new_states = [
                 ap.update_stream_state(st, g, c, att_act, cla_act)
                 for st, (g, c) in zip(states, levels)
             ]
+            return new_states, fold_timeline(tl, levels, patches.shape[1])
 
         def finalize(states):
             return stream_finalize_scores(
@@ -147,6 +201,10 @@ class StreamingTagger:
             ap.init_stream_state((1, self.cfg.model.n_classes))
             for _ in range(self._n_levels)
         ]
+        self.tl = (ap.init_timeline_state(1, self.timeline_cap,
+                                          self._n_levels,
+                                          self.cfg.model.n_classes)
+                   if self.timeline_cap else None)
         self._fed_any = False
 
     def feed(self, waveform: np.ndarray):
@@ -159,7 +217,8 @@ class StreamingTagger:
         hop_samples = self.cfg.frontend.example_hop_frames * self.cfg.frontend.hop_length
         while len(self._buf) >= unit:
             chunk = self._buf[:unit][None]
-            self.states = self._chunk_step(self.states, jnp.asarray(chunk))
+            self.states, self.tl = self._chunk_step(
+                self.states, self.tl, jnp.asarray(chunk))
             self._fed_any = True
             consumed = self.chunk_patches * hop_samples
             self._buf = self._buf[consumed:]
@@ -189,6 +248,7 @@ class StreamingTagger:
             ap.update_stream_state(st, g, c, *self._acts)
             for st, (g, c) in zip(self.states, levels)
         ]
+        self.tl = self._fold_timeline(self.tl, levels, n_patches)
         self._fed_any = True
         self._buf = np.zeros(0, np.float32)
 
@@ -202,6 +262,16 @@ class StreamingTagger:
         s = self.scores()
         order = np.argsort(-s)[:k]
         return [(labels[i] if labels else int(i), float(s[i])) for i in order]
+
+    def timeline(self):
+        """Localization window over the last ``timeline_cap`` patches:
+        ``(start_patch, [(weights [T, C], probs [T, C]) per level])`` —
+        the streaming counterpart of ``AudioTagger.timeline`` (requires
+        ``timeline_cap`` > 0; exactly the one-shot readout when the ring
+        covers the whole stream, tested)."""
+        if not self._fed_any:
+            raise RuntimeError("no audio fed yet")
+        return read_timeline(self.states, self.tl, 0, self._acts[0])
 
 
 def tag_clip(cfg: Config, variables: Dict, waveform: np.ndarray) -> np.ndarray:

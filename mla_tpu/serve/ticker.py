@@ -166,6 +166,17 @@ class TickLoop:
             states = self.srv.states
         return np.asarray(self.srv._finalize(states))[sid]
 
+    def timeline(self, sid: int):
+        """Localization window (server.timeline semantics). The ring fetch
+        (~1 MB) runs outside every lock on an immutable snapshot."""
+        self._wait_drained(sid)
+        with self.cond:
+            self.srv._check(sid)
+            if not self.srv._fed[sid]:
+                raise RuntimeError(f"stream {sid} has no processed audio yet")
+            states, tl = self.srv.states, self.srv.tl
+        return self.srv.timeline_from(states, tl, sid)
+
     # --- tick thread -----------------------------------------------------
     def _n_ready(self) -> int:
         return sum(self.srv.chunks_ready(s) > 0 for s in range(self.srv.S))
@@ -197,7 +208,8 @@ class TickLoop:
             n_valid = np.full(srv.S, srv.chunk_patches, np.int32)
             dev_args = srv._put_batch(wav, active, n_valid)
             with self.dev:
-                srv.states = srv._batched_step(srv.states, *dev_args)
+                srv.states, srv.tl = srv._batched_step(
+                    srv.states, srv.tl, *dev_args)
             with self.cond:
                 srv._fed |= active
                 self._dispatching = False

@@ -118,3 +118,393 @@ def test_infer_timeline_cli(tmp_path, rng):
     assert len(lines) >= 2  # header + >=1 patch row
     first = lines[1].split(",")
     assert first[0] == "0" and float(first[1]) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Streaming timeline: the on-device TimelineState ring (serve component)
+# must reproduce the one-shot readout whenever the ring covers the whole
+# stream, and keep exactly the LAST cap patches (globally-normalized
+# weights) once it wraps.
+# ---------------------------------------------------------------------------
+
+
+def test_update_timeline_state_ring_semantics(rng):
+    """Pure ring unit: wraparound, per-patch valid masking, inactive rows."""
+    from mla_tpu.ops.attention_pool import (init_timeline_state,
+                                            update_timeline_state)
+
+    S, cap, L, C, P = 2, 4, 1, 3, 3
+    tl = init_timeline_state(S, cap, L, C)
+
+    def chunk(v):
+        g = np.full((S, P, L, C), v, np.float32)
+        g += np.arange(P, dtype=np.float32)[None, :, None, None]
+        return jnp.asarray(g)
+
+    # tick 1: stream 0 active with 3 valid, stream 1 inactive
+    tl = update_timeline_state(tl, chunk(10.0), chunk(100.0),
+                               jnp.asarray([True, False]),
+                               jnp.asarray([3, 3], np.int32))
+    assert list(np.asarray(tl.count)) == [3, 0]
+    assert list(np.asarray(tl.cursor)) == [3, 0]
+    np.testing.assert_array_equal(np.asarray(tl.g)[1], 0.0)  # untouched
+    np.testing.assert_allclose(np.asarray(tl.g)[0, :3, 0, 0], [10, 11, 12])
+
+    # tick 2: stream 0 writes 2 valid of 3 (flush-style) -> wraps to slot 0;
+    # the third (padded) patch must NOT clobber ring slot 1
+    tl = update_timeline_state(tl, chunk(20.0), chunk(200.0),
+                               jnp.asarray([True, True]),
+                               jnp.asarray([2, 3], np.int32))
+    g0 = np.asarray(tl.g)[0, :, 0, 0]
+    # valid patches 20, 21 land in slots 3 and (wrap) 0 -> [21, 11, 12, 20]
+    np.testing.assert_allclose(g0, [21, 11, 12, 20])
+    assert list(np.asarray(tl.count)) == [5, 3]
+    assert list(np.asarray(tl.cursor)) == [1, 3]
+
+
+def _serve_setup(variant, rng, n_blocks=2, **kw):
+    from mla_tpu.config import Config
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops.frontend import waveform_to_patches
+
+    cfg = Config(
+        name="timeline_serve_test",
+        model=ModelConfig(variant=variant, trunk="cnn", n_classes=9,
+                          n_blocks=n_blocks, hidden_units=32,
+                          conv_channels=(8, 16), convs_per_stage=1,
+                          compute_dtype="float32", **kw),
+    )
+    model = build_model(cfg.model)
+    probe = waveform_to_patches(
+        jnp.asarray(rng.standard_normal(16000 * 2).astype(np.float32))[None],
+        cfg.frontend)
+    variables = model.init(jax.random.key(0), probe)
+    return cfg, model, variables
+
+
+def _oneshot_timeline(cfg, model, variables, wav):
+    from mla_tpu.ops.frontend import waveform_to_patches
+
+    patches = waveform_to_patches(jnp.asarray(wav)[None], cfg.frontend)
+    return [(np.asarray(w, np.float32)[0], np.asarray(f, np.float32)[0])
+            for w, f in model.apply(variables, patches, method="timeline")]
+
+
+@pytest.mark.parametrize("variant", ["multi_level_attention", "max_pool",
+                                     "avg_pool"])
+def test_server_timeline_matches_oneshot(variant, rng):
+    """Ring covering the whole stream == the one-shot model.timeline."""
+    from mla_tpu.serve.server import BatchedStreamingServer
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    cfg, model, variables = _serve_setup(variant, rng)
+    n_patches = 7
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, n_patches)) * 0.3).astype(np.float32)
+
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                 chunk_patches=3, timeline_cap=16)
+    sid = srv.open()
+    for off in range(0, len(wav), 7000):  # odd block sizes
+        srv.feed(sid, wav[off:off + 7000])
+        srv.drain()
+    srv.flush(sid)
+
+    start, levels = srv.timeline(sid)
+    assert start == 0
+    want = _oneshot_timeline(cfg, model, variables, wav)
+    assert len(levels) == len(want)
+    for (w_s, f_s), (w_1, f_1) in zip(levels, want):
+        assert w_s.shape == (n_patches, cfg.model.n_classes)
+        np.testing.assert_allclose(w_s, w_1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(f_s, f_1, rtol=1e-4, atol=1e-5)
+    # the window readout reconstructs the clip scores for attention
+    # variants via the finalize tail (sum_t w*f == pooled per level)
+    pooled = [jnp.asarray((w * f).sum(axis=0))[None] for w, f in levels]
+    if variant == "multi_level_attention":
+        re = np.asarray(model.apply(variables, pooled,
+                                    method="finalize_multi_level"))[0]
+        np.testing.assert_allclose(re, srv.scores(sid), rtol=1e-4, atol=1e-5)
+
+
+def test_server_timeline_ring_wraps_to_last_cap(rng):
+    from mla_tpu.serve.server import BatchedStreamingServer
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    cfg, model, variables = _serve_setup("single_attention", rng)
+    n_patches, cap = 11, 4
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, n_patches)) * 0.3).astype(np.float32)
+
+    srv = BatchedStreamingServer(cfg, variables, max_streams=1,
+                                 chunk_patches=4, timeline_cap=cap)
+    sid = srv.open()
+    srv.feed(sid, wav)
+    srv.drain()
+    srv.flush(sid)
+
+    start, levels = srv.timeline(sid)
+    assert start == n_patches - cap
+    w_1, f_1 = _oneshot_timeline(cfg, model, variables, wav)[0]
+    w_s, f_s = levels[0]
+    # globally-normalized weights: the window rows equal the one-shot
+    # readout's LAST cap rows exactly (same m/den), and sum to < 1
+    np.testing.assert_allclose(w_s, w_1[-cap:], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(f_s, f_1[-cap:], rtol=1e-4, atol=1e-5)
+    assert (w_s.sum(axis=0) < 1.0 + 1e-5).all()
+
+
+def test_server_timeline_slot_reset_on_reuse(rng):
+    from mla_tpu.serve.server import BatchedStreamingServer
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    cfg, model, variables = _serve_setup("single_attention", rng)
+    srv = BatchedStreamingServer(cfg, variables, max_streams=1,
+                                 chunk_patches=3, timeline_cap=8)
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 6)) * 0.3).astype(np.float32)
+    sid = srv.open()
+    srv.feed(sid, wav)
+    srv.drain()
+    assert srv.timeline(sid)[1][0][0].shape[0] == 6
+    srv.close(sid)
+
+    sid2 = srv.open()
+    assert sid2 == sid
+    half = wav[: _samples_per_patches(cfg.frontend, 3)]
+    srv.feed(sid2, half)
+    srv.drain()
+    start, levels = srv.timeline(sid2)
+    assert start == 0 and levels[0][0].shape[0] == 3
+    w_1, f_1 = _oneshot_timeline(cfg, model, variables, half)[0]
+    np.testing.assert_allclose(levels[0][0], w_1, rtol=1e-4, atol=1e-5)
+
+
+def test_server_timeline_disabled_raises(rng):
+    from mla_tpu.serve.server import BatchedStreamingServer
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    cfg, model, variables = _serve_setup("single_attention", rng)
+    srv = BatchedStreamingServer(cfg, variables, max_streams=1,
+                                 chunk_patches=3)
+    sid = srv.open()
+    srv.feed(sid, np.zeros(_samples_per_patches(cfg.frontend, 3), np.float32))
+    srv.drain()
+    with pytest.raises(RuntimeError, match="timeline disabled"):
+        srv.timeline(sid)
+    with pytest.raises(ValueError, match="timeline_cap"):
+        BatchedStreamingServer(cfg, variables, max_streams=1,
+                               chunk_patches=5, timeline_cap=3)
+
+
+def test_tagger_timeline_matches_oneshot(rng):
+    from mla_tpu.serve.streaming import StreamingTagger, _samples_per_patches
+
+    cfg, model, variables = _serve_setup("multi_attention", rng,
+                                         n_attention_heads=2)
+    n_patches = 5
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, n_patches)) * 0.3).astype(np.float32)
+    tagger = StreamingTagger(cfg, variables, chunk_patches=2, timeline_cap=8)
+    for off in range(0, len(wav), 9000):
+        tagger.feed(wav[off:off + 9000])
+    tagger.flush()
+    start, levels = tagger.timeline()
+    assert start == 0 and len(levels) == 2
+    want = _oneshot_timeline(cfg, model, variables, wav)
+    for (w_s, f_s), (w_1, f_1) in zip(levels, want):
+        np.testing.assert_allclose(w_s, w_1, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(f_s, f_1, rtol=1e-4, atol=1e-5)
+
+
+def test_server_timeline_sharded_matches_unsharded(rng):
+    """Mesh-sharded stream axis: the tl ring shards with the streams and
+    reads back identical windows."""
+    from mla_tpu.serve.server import BatchedStreamingServer
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    cfg, model, variables = _serve_setup("multi_level_attention", rng)
+    wavs = [(rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 5)) * 0.3).astype(np.float32)
+        for _ in range(4)]
+
+    plain = BatchedStreamingServer(cfg, variables, max_streams=4,
+                                   chunk_patches=3, timeline_cap=8)
+    shard = BatchedStreamingServer(cfg, variables, max_streams=4,
+                                   chunk_patches=3, timeline_cap=8,
+                                   mesh=mesh)
+    for srv in (plain, shard):
+        sids = [srv.open() for _ in wavs]
+        for sid, w in zip(sids, wavs):
+            srv.feed(sid, w)
+        srv.drain()
+        for sid in sids:
+            srv.flush(sid)
+    for sid in range(4):
+        s0, l0 = plain.timeline(sid)
+        s1, l1 = shard.timeline(sid)
+        assert s0 == s1
+        for (w0, f0), (w1, f1) in zip(l0, l1):
+            np.testing.assert_allclose(w1, w0, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(f1, f0, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# HTTP tiers: GET /v1/streams/<sid>/timeline on the stdlib and native fronts
+# (both read through server.timeline_from, so one consistency check each).
+# ---------------------------------------------------------------------------
+
+
+def _http_timeline_roundtrip(base, cfg, model, variables, wav, rng):
+    """Drive a stream via TagClient, fetch the timeline, and check it
+    against the one-shot readout + the clip scores."""
+    from mla_tpu.serve.client import TagClient
+
+    c = TagClient(base)
+    with c.stream(wire="float32") as s:
+        s.feed(wav)
+        s.flush()
+        scores = dict(s.scores(top_k=3))
+        tl = s.timeline(top_k=3)
+    n_patches = len(tl["weights"])
+    assert tl["start_patch"] == 0
+    assert abs(tl["hop_s"] - 0.96) < 1e-6
+    names = [n for n, _ in tl["classes"]]
+    assert len(names) == 3 and set(names) == set(scores)
+    # single_attention: clip score IS sum_t w*f per class (one level)
+    w = np.asarray(tl["weights"], np.float32)
+    f = np.asarray(tl["probs"], np.float32)
+    for j, name in enumerate(names):
+        got = float((w[:, j] * f[:, j]).sum())
+        assert abs(got - scores[name]) < 1e-4, (name, got, scores[name])
+    # and matches the one-shot readout column-for-column
+    want_w, want_f = _oneshot_timeline(cfg, model, variables, wav)[0]
+    from mla_tpu.data.labels import labels_for
+
+    labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
+    for j, name in enumerate(names):
+        k = labels.index(name)
+        np.testing.assert_allclose(w[:n_patches, j], want_w[:, k],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(f[:n_patches, j], want_f[:, k],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def _http_cfg_and_wav(rng):
+    import dataclasses as _dc
+
+    from mla_tpu.config import Config
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops.frontend import waveform_to_patches
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    cfg = Config(
+        name="timeline_http_test",
+        model=ModelConfig(variant="single_attention", trunk="cnn",
+                          n_classes=10, n_blocks=1, hidden_units=48,
+                          conv_channels=(8, 16), convs_per_stage=1,
+                          compute_dtype="float32"),
+        data=_dc.replace(Config().data, dataset="synthetic_us8k"),
+    )
+    model = build_model(cfg.model)
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 5)) * 0.3).astype(np.float32)
+    probe = waveform_to_patches(jnp.asarray(wav[:32000])[None], cfg.frontend)
+    variables = model.init(jax.random.key(0), probe)
+    return cfg, model, variables, wav
+
+
+def test_http_timeline_route(rng):
+    import threading
+
+    from mla_tpu.serve.http import create_server
+
+    cfg, model, variables, wav = _http_cfg_and_wav(rng)
+    srv = create_server(cfg, variables, port=0, max_streams=2,
+                        chunk_patches=3, transfer_dtype="float32",
+                        timeline_cap=8)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://%s:%d" % srv.server_address[:2]
+    try:
+        _http_timeline_roundtrip(base, cfg, model, variables, wav, rng)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_http_timeline_disabled_409(rng):
+    import threading
+
+    from mla_tpu.serve.client import TagClient, TagServiceError
+    from mla_tpu.serve.http import create_server
+
+    cfg, model, variables, wav = _http_cfg_and_wav(rng)
+    srv = create_server(cfg, variables, port=0, max_streams=2,
+                        chunk_patches=3, transfer_dtype="float32")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://%s:%d" % srv.server_address[:2]
+    try:
+        c = TagClient(base)
+        with c.stream(wire="float32") as s:
+            s.feed(wav)
+            s.flush()
+            with pytest.raises(TagServiceError, match="timeline disabled") as e:
+                s.timeline()
+            assert e.value.status == 409
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_native_front_timeline_route(rng):
+    from mla_tpu.serve import native_front
+
+    if not native_front.available():
+        pytest.skip("native serving front unavailable")
+    cfg, model, variables, wav = _http_cfg_and_wav(rng)
+    srv = native_front.create_native_server(
+        cfg, variables, port=0, max_streams=2, chunk_patches=3,
+        transfer_dtype="float32", timeline_cap=8)
+    base = "http://%s:%d" % srv.server_address
+    try:
+        _http_timeline_roundtrip(base, cfg, model, variables, wav, rng)
+    finally:
+        srv.server_close()
+
+
+def test_tag_timeline_cli(tmp_path, rng):
+    """tag --timeline drives the stream API and writes the window CSV."""
+    import threading
+    import wave
+
+    from mla_tpu.__main__ import main
+    from mla_tpu.serve.http import create_server
+
+    cfg, model, variables, wav = _http_cfg_and_wav(rng)
+    srv = create_server(cfg, variables, port=0, max_streams=2,
+                        chunk_patches=3, transfer_dtype="float32",
+                        timeline_cap=8)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://%s:%d" % srv.server_address[:2]
+    wav_path = tmp_path / "clip.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(cfg.frontend.sample_rate)
+        w.writeframes((wav * 32767).astype("<i2").tobytes())
+    out = tmp_path / "tl.csv"
+    try:
+        main(["tag", "--url", base, "--wav", str(wav_path), "--top_k=2",
+              "--wire=float32", "--timeline", str(out)])
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].startswith("patch,time_s,prob:")
+    assert lines[0].count("att:") == 2
+    assert len(lines) >= 4  # header + >= 3 patches of a 5-patch clip
