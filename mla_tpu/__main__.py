@@ -243,17 +243,18 @@ def cmd_infer(args):
 
     names = labels_for(cfg.data.dataset, cfg.model.n_classes, args.labels_csv)
     top = np.argsort(-scores)[: args.top_k]
-    if getattr(args, "timeline", None):
-        _write_timeline(cfg, variables, wav, top, names, args.timeline)
+    if getattr(args, "timeline", None) or getattr(args, "events", None):
+        w, f, hop_s = _timeline_mean(cfg, variables, wav)
+        if args.timeline:
+            _write_timeline(w, f, hop_s, top, names, args.timeline)
+        if args.events:
+            _write_events(w, f, hop_s, top, names, args)
     print(_jdump({"top_k": [[names[i], float(scores[i])] for i in top]}))
 
 
-def _write_timeline(cfg, variables, wav, top, names, path):
-    """Per-patch localization CSV (model.timeline): one row per 0.96 s
-    patch, columns prob:<label> (segment classifier) and att:<label>
-    (time-normalized attention weight; uniform = 1/n_patches) for the
-    clip's top-k classes, level-averaged. Uses the one-shot path — the
-    readout is over the whole clip's patch sequence."""
+def _timeline_mean(cfg, variables, wav):
+    """One-shot level-mean localization readout: (weights [T, C],
+    probs [T, C], hop seconds) via model.timeline over the whole clip."""
     import jax.numpy as jnp
 
     from mla_tpu.models.zoo import build_model
@@ -266,6 +267,14 @@ def _write_timeline(cfg, variables, wav, top, names, path):
     f = np.mean([np.asarray(fl, np.float32)[0] for _, fl in tl], axis=0)
     hop_s = (cfg.frontend.example_hop_frames * cfg.frontend.hop_length
              / cfg.frontend.sample_rate)
+    return w, f, hop_s
+
+
+def _write_timeline(w, f, hop_s, top, names, path):
+    """Per-patch localization CSV (model.timeline): one row per 0.96 s
+    patch, columns prob:<label> (segment classifier) and att:<label>
+    (time-normalized attention weight; uniform = 1/n_patches) for the
+    clip's top-k classes, level-averaged."""
     with open(path, "w") as fh:
         cols = ",".join(f"prob:{names[i]},att:{names[i]}" for i in top)
         fh.write(f"patch,time_s,{cols}\n")
@@ -274,6 +283,22 @@ def _write_timeline(cfg, variables, wav, top, names, path):
             fh.write(f"{t},{t * hop_s:.3f},{vals}\n")
     print(f"# timeline: {w.shape[0]} patches x top-{len(top)} classes -> {path}",
           file=sys.stderr)
+
+
+def _write_events(w, f, hop_s, top, names, args):
+    """Discrete event list (serve/events.py over the clip's top-k classes)
+    as one JSON file: threshold / gap-merge / min-duration via
+    --event_threshold / --event_gap / --event_min_dur."""
+    from mla_tpu.serve.events import detect_events
+
+    events = detect_events(
+        f, w, hop_s=hop_s, threshold=args.event_threshold,
+        merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur,
+        class_names=names, classes=[int(i) for i in top])
+    with open(args.events, "w") as fh:
+        json.dump({"hop_s": hop_s, "threshold": args.event_threshold,
+                   "events": events}, fh, indent=1)
+    print(f"# events: {len(events)} -> {args.events}", file=sys.stderr)
 
 
 def _load_variables(args, cfg, sample_wav_seconds: float = 2.0):
@@ -625,6 +650,15 @@ def main(argv=None):
                          "(attention weights + segment probs for the clip's "
                          "top-k classes) — the attention model's native "
                          "event-in-time output")
+    si.add_argument("--events", default=None, metavar="JSON",
+                    help="also write discrete events (threshold + gap-merge "
+                         "+ min-duration over the top-k classes' per-patch "
+                         "probs — serve/events.py)")
+    si.add_argument("--event_threshold", type=float, default=0.5)
+    si.add_argument("--event_gap", type=float, default=0.0,
+                    help="merge events separated by gaps <= this (seconds)")
+    si.add_argument("--event_min_dur", type=float, default=0.0,
+                    help="drop events shorter than this (seconds)")
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
 

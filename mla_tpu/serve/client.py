@@ -255,6 +255,18 @@ class TagStream:
         return self._c._request(
             "GET", f"/v1/streams/{self.sid}/timeline?top_k={top_k}")
 
+    def events(self, top_k: int = 5, threshold: float = 0.5,
+               merge_gap_s: float = 0.0, min_dur_s: float = 0.0) -> list:
+        """Discrete events over the stream's timeline window (client-side
+        post-processing — serve/events.py): [{"label", "t_start", "t_end",
+        "score", "mean", "att_mass", "class_idx"}, ...], timestamps
+        absolute on the stream's patch grid."""
+        from mla_tpu.serve.events import events_from_timeline_payload
+
+        return events_from_timeline_payload(
+            self.timeline(top_k=top_k), threshold=threshold,
+            merge_gap_s=merge_gap_s, min_dur_s=min_dur_s)
+
     def close(self):
         if self.sid is not None:
             self._c._request("DELETE", f"/v1/streams/{self.sid}")

@@ -1,0 +1,134 @@
+"""Event detection over the localization timeline (serve/events.py):
+threshold / gap-merge / min-duration post-processing with absolute
+timestamps on the patch grid, plus the CLI and client-SDK surfaces."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mla_tpu.serve.events import detect_events, events_from_timeline_payload
+
+
+def _tracks():
+    """One class with two separated bursts, one always-quiet class."""
+    f = np.zeros((10, 2), np.float32)
+    f[1:3, 0] = 0.9       # burst A: patches 1-2
+    f[3, 0] = 0.2         # dip below threshold
+    f[4:7, 0] = [0.6, 0.8, 0.55]  # burst B: patches 4-6
+    f[:, 1] = 0.1
+    w = np.full((10, 2), 0.1, np.float32)
+    return f, w
+
+
+def test_detect_events_thresholding_and_timestamps():
+    f, w = _tracks()
+    evs = detect_events(f, w, hop_s=0.96, threshold=0.5)
+    assert [e["class_idx"] for e in evs] == [0, 0]
+    a, b = evs
+    assert a["t_start"] == pytest.approx(0.96) and a["t_end"] == pytest.approx(2.88)
+    assert b["t_start"] == pytest.approx(4 * 0.96) and b["t_end"] == pytest.approx(7 * 0.96)
+    assert a["score"] == pytest.approx(0.9) and b["score"] == pytest.approx(0.8)
+    assert a["att_mass"] == pytest.approx(0.2) and b["att_mass"] == pytest.approx(0.3)
+
+
+def test_detect_events_gap_merge_and_min_duration():
+    f, w = _tracks()
+    # the 1-patch dip (0.96 s) merges at merge_gap_s >= 0.96
+    evs = detect_events(f, hop_s=0.96, threshold=0.5, merge_gap_s=0.96)
+    assert len(evs) == 1
+    assert evs[0]["t_start"] == pytest.approx(0.96)
+    assert evs[0]["t_end"] == pytest.approx(7 * 0.96)
+    # min duration drops the 2-patch burst but keeps the 3-patch one
+    evs = detect_events(f, hop_s=0.96, threshold=0.5, min_dur_s=2.5)
+    assert len(evs) == 1 and evs[0]["t_start"] == pytest.approx(4 * 0.96)
+
+
+def test_detect_events_start_patch_offset_and_class_filter():
+    f, _ = _tracks()
+    evs = detect_events(f, hop_s=0.96, threshold=0.5, start_patch=100,
+                        classes=[0], class_names=["dog", "rain"])
+    assert all(e["label"] == "dog" for e in evs)
+    assert evs[0]["t_start"] == pytest.approx(101 * 0.96)
+    assert detect_events(f, hop_s=0.96, threshold=0.5, classes=[1]) == []
+
+
+def test_detect_events_edge_runs_and_sorting():
+    f = np.zeros((4, 2), np.float32)
+    f[0, 1] = 0.9   # starts at patch 0
+    f[3, 0] = 0.7   # ends at the last patch
+    f[0, 0] = 0.6   # two classes active at t=0 -> sorted by -score
+    evs = detect_events(f, hop_s=1.0, threshold=0.5)
+    assert (evs[0]["class_idx"], evs[0]["t_start"]) == (1, 0.0)
+    assert evs[1]["class_idx"] == 0 and evs[1]["t_start"] == 0.0
+    assert evs[-1]["t_end"] == pytest.approx(4.0)
+
+
+def test_events_from_timeline_payload():
+    f, w = _tracks()
+    payload = {
+        "start_patch": 3, "hop_s": 0.96,
+        "classes": [["dog", 0.8], ["rain", 0.1]],
+        "weights": w.tolist(), "probs": f.tolist(),
+    }
+    evs = events_from_timeline_payload(payload, threshold=0.5)
+    assert [e["label"] for e in evs] == ["dog", "dog"]
+    assert evs[0]["t_start"] == pytest.approx((3 + 1) * 0.96)
+
+
+def test_infer_events_cli(tmp_path, rng):
+    import wave
+
+    from mla_tpu.__main__ import main
+
+    sr = 16000
+    x = (0.3 * rng.standard_normal(sr * 3)).astype(np.float32)
+    wav_path = tmp_path / "clip.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+    out = tmp_path / "events.json"
+    main(["infer", "--config=esc50_single_attention", "--wav", str(wav_path),
+          "--checkpoint=random", "--top_k=3", "--events", str(out),
+          "--event_threshold=0.0"])  # threshold 0: every patch active
+    payload = json.loads(out.read_text())
+    assert payload["hop_s"] == pytest.approx(0.96)
+    evs = payload["events"]
+    assert len(evs) == 3  # one full-span event per top-k class
+    for e in evs:
+        assert e["t_start"] == 0.0 and "label" in e and 0 <= e["score"] <= 1
+
+
+def test_client_events_integration(rng):
+    """TagStream.events(): timeline route -> client-side detection."""
+    import threading
+
+    from mla_tpu.serve.client import TagClient
+    from mla_tpu.serve.http import create_server
+    from tests.test_timeline import _http_cfg_and_wav
+
+    cfg, model, variables, wav = _http_cfg_and_wav(rng)
+    srv = create_server(cfg, variables, port=0, max_streams=2,
+                        chunk_patches=3, transfer_dtype="float32",
+                        timeline_cap=8)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://%s:%d" % srv.server_address[:2]
+    try:
+        c = TagClient(base)
+        with c.stream(wire="float32") as s:
+            s.feed(wav)
+            s.flush()
+            tl = s.timeline(top_k=2)
+            evs = s.events(top_k=2, threshold=0.0)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    # threshold 0 -> one event per column spanning the whole window
+    assert len(evs) == 2
+    n = len(tl["probs"])
+    for e in evs:
+        assert e["t_start"] == pytest.approx(tl["start_patch"] * tl["hop_s"])
+        assert e["t_end"] == pytest.approx(
+            (tl["start_patch"] + n) * tl["hop_s"])
