@@ -478,6 +478,13 @@ def cmd_serve(args):
         from mla_tpu.parallel import mesh as pmesh
 
         mesh = pmesh.make_mesh()
+
+    def reload_fn():
+        # POST /v1/reload: re-read the same checkpoint source the server
+        # started from (latest checkpoint in the workspace; random demo
+        # weights only if that is what the server started with)
+        return _load_variables(args, cfg)
+
     if args.native:
         from mla_tpu.serve.native_front import create_native_server
 
@@ -485,13 +492,14 @@ def cmd_serve(args):
             cfg, variables, port=args.port, host=args.host,
             max_streams=args.max_streams, chunk_patches=args.chunk_patches,
             transfer_dtype=args.transfer_dtype, mesh=mesh,
-            timeline_cap=args.timeline_cap)
+            timeline_cap=args.timeline_cap, reload_fn=reload_fn)
     else:
         srv = create_server(cfg, variables, port=args.port, host=args.host,
                             max_streams=args.max_streams,
                             chunk_patches=args.chunk_patches,
                             transfer_dtype=args.transfer_dtype, mesh=mesh,
-                            timeline_cap=args.timeline_cap)
+                            timeline_cap=args.timeline_cap,
+                            reload_fn=reload_fn)
     host, port = srv.server_address[:2]
     sharded = f", streams sharded over {mesh.shape}" if mesh is not None else ""
     front = "native C++ front" if args.native else "stdlib front"

@@ -174,6 +174,13 @@ class TagClient:
     def health(self) -> dict:
         return self._request("GET", "/v1/healthz")
 
+    def reload(self) -> dict:
+        """Ask the service to hot-swap its weights from its configured
+        checkpoint source (POST /v1/reload; requires the server to run
+        with a reload_fn — `serve` wires it to the workspace's latest
+        checkpoint). Zero downtime: open streams keep their state."""
+        return self._request("POST", "/v1/reload")
+
     def tag(self, wav: np.ndarray, top_k: int = 5,
             wire: str = "int16") -> List[Tuple[str, float]]:
         """One-shot: waveform (float [-1,1] or int16, service sample rate)

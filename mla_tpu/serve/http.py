@@ -37,6 +37,11 @@ API (JSON unless noted):
                                             audio format above) -> top-k
                                             (reference C15 ``inference``)
     GET    /v1/healthz                      -> {"ok": true, ...}
+    POST   /v1/reload                       -> {"reloaded": true, ...}
+        zero-downtime weight swap (requires reload_fn; `serve` wires it
+        to re-read the latest workspace checkpoint): the tick program
+        takes variables as an argument, so the swap is one device_put —
+        no recompile, open streams keep their accumulator state
 
     srv = create_server(cfg, variables, port=0)   # port 0 = ephemeral
     srv.serve_forever()                            # or in a thread
@@ -176,10 +181,12 @@ class _TaggerState:
 
     def __init__(self, cfg: Config, variables: Dict, max_streams: int,
                  chunk_patches: int, transfer_dtype: str, mesh=None,
-                 batch_grace: float = 0.005, timeline_cap: int = 0):
+                 batch_grace: float = 0.005, timeline_cap: int = 0,
+                 reload_fn=None):
         from mla_tpu.serve.ticker import TickLoop
 
         self.cfg = cfg
+        self.reload_fn = reload_fn
         self.server = BatchedStreamingServer(
             cfg, variables, max_streams=max_streams, chunk_patches=chunk_patches,
             transfer_dtype=transfer_dtype, mesh=mesh,
@@ -305,6 +312,27 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         st = self.state
+        if self.path.split("?")[0] == "/v1/reload":
+            # zero-downtime weight swap: re-read the configured checkpoint
+            # source and swap it under the tick thread's device lock —
+            # no retrace (variables are a program ARG), open streams and
+            # their accumulator states untouched
+            if st.reload_fn is None:
+                self._error(409, "no reload source configured (start the "
+                                 "service with a reload_fn / the serve verb)")
+                return
+            try:
+                out = st.reload_fn()
+                variables, info = out if isinstance(out, tuple) else (out, {})
+                st.ticker.reload_weights(variables)
+            except ValueError as e:  # mismatched tree
+                self._error(409, str(e))
+                return
+            except Exception as e:
+                self._error(500, f"reload failed: {type(e).__name__}: {e}")
+                return
+            self._reply(200, {"reloaded": True, **info})
+            return
         if self.path.split("?")[0] == "/v1/tag":
             # one-shot convenience (reference C15): whole clip -> top-k,
             # via a transient slot on the shared batched program (same
@@ -446,6 +474,7 @@ def create_server(
     mesh=None,
     batch_grace: float = 0.005,
     timeline_cap: int = 0,
+    reload_fn=None,
 ) -> ThreadingHTTPServer:
     """Build the HTTP server (not yet serving; call .serve_forever()).
     transfer_dtype="int16" (default) ships PCM16 to the device and
@@ -464,10 +493,13 @@ def create_server(
     request handling never runs device code — it overlaps with ticks.
     ``timeline_cap`` > 0 enables GET /v1/streams/<sid>/timeline: the
     last timeline_cap patches' localization readout, recorded on device
-    inside the tick program (zero per-tick host traffic)."""
+    inside the tick program (zero per-tick host traffic). ``reload_fn``
+    (a zero-arg callable returning fresh variables, or
+    ``(variables, info_dict)``) enables POST /v1/reload — a zero-downtime
+    weight swap: no retrace, open streams keep their accumulator state."""
     state = _TaggerState(cfg, variables, max_streams, chunk_patches,
                          transfer_dtype, mesh=mesh, batch_grace=batch_grace,
-                         timeline_cap=timeline_cap)
+                         timeline_cap=timeline_cap, reload_fn=reload_fn)
     handler = type("Handler", (_Handler,), {"state": state})
     srv = _TaggerHTTPServer((host, port), handler)
     srv.state = state

@@ -172,7 +172,7 @@ class NativeTagServer:
                  chunk_patches: int = 5, transfer_dtype: str = "int16",
                  mesh=None, batch_grace: float = 0.005, n_workers: int = 2,
                  max_body_bytes: int = 64 * 1024 * 1024,
-                 timeline_cap: int = 0):
+                 timeline_cap: int = 0, reload_fn=None):
         lib = _lib()
         if lib is None:
             raise RuntimeError(
@@ -181,6 +181,7 @@ class NativeTagServer:
                 "serve.http.create_server instead")
         self._lib = lib
         self.cfg = cfg
+        self.reload_fn = reload_fn
         self.srv = BatchedStreamingServer(
             cfg, variables, max_streams=max_streams,
             chunk_patches=chunk_patches, transfer_dtype=transfer_dtype,
@@ -279,7 +280,7 @@ class NativeTagServer:
             dev_args = srv._put_batch(wav, active, n_valid)
             with self.dev:
                 srv.states, srv.tl = srv._batched_step(
-                    srv.states, srv.tl, *dev_args)
+                    srv.variables, srv.states, srv.tl, *dev_args)
             with self.host_lock:
                 srv._fed |= active
             self.ticker.ticks += 1
@@ -335,6 +336,8 @@ class NativeTagServer:
             return 200, {"sid": sid, "chunk_samples": self.srv.chunk_samples}
         if method == "POST" and path == "/v1/tag":
             return 200, self._tag(body, ctype, xs, top_k_param())
+        if method == "POST" and path == "/v1/reload":
+            return 200, self._reload()
         if m:
             sid = int(m.group(1))
             leaf = m.group(2)
@@ -489,9 +492,27 @@ class NativeTagServer:
             self.srv._check(sid)
             if not self.srv._fed[sid]:
                 raise RuntimeError(f"stream {sid} has no processed audio yet")
-            states = self.srv.states
+            variables, states = self.srv.variables, self.srv.states
         # ~27 ms tunnel fetch outside every lock (states are immutable)
-        return np.asarray(self.srv._finalize(states))[sid]
+        return np.asarray(self.srv._finalize(variables, states))[sid]
+
+    def _reload(self):
+        """Zero-downtime weight swap (serve/http.py's /v1/reload): swap
+        under the tick thread's dev lock; open streams keep their state."""
+        if self.reload_fn is None:
+            raise _HTTPError(409, "no reload source configured (start the "
+                                  "service with a reload_fn / the serve verb)")
+        try:
+            out = self.reload_fn()
+            variables, info = out if isinstance(out, tuple) else (out, {})
+        except Exception as e:
+            raise _HTTPError(500, f"reload failed: {type(e).__name__}: {e}")
+        try:
+            with self.dev, self.host_lock:
+                self.srv.reload_weights(variables)
+        except ValueError as e:  # mismatched tree
+            raise _HTTPError(409, str(e))
+        return {"reloaded": True, **info}
 
     def _timeline(self, sid: int):
         self._lib.sf_wait_drained(self._h, sid, _SYNC_TIMEOUT_MS)
@@ -538,6 +559,7 @@ def create_native_server(
     mesh=None,
     batch_grace: float = 0.005,
     timeline_cap: int = 0,
+    reload_fn=None,
 ) -> NativeTagServer:
     """Drop-in for serve.http.create_server with the C++ front (same
     arguments, same HTTP API; serving starts immediately — serve_forever
@@ -545,4 +567,5 @@ def create_native_server(
     return NativeTagServer(
         cfg, variables, port=port, host=host, max_streams=max_streams,
         chunk_patches=chunk_patches, transfer_dtype=transfer_dtype,
-        mesh=mesh, batch_grace=batch_grace, timeline_cap=timeline_cap)
+        mesh=mesh, batch_grace=batch_grace, timeline_cap=timeline_cap,
+        reload_fn=reload_fn)

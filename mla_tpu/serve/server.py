@@ -147,7 +147,7 @@ class BatchedStreamingServer:
         self.tl = (ap.init_timeline_state(self.S, self.timeline_cap,
                                           self._n_levels, c)
                    if self.timeline_cap else None)
-        self._wav_sh = self._vec_sh = None
+        self._wav_sh = self._vec_sh = self._var_sh = None
         jit_kwargs = {}
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -170,12 +170,25 @@ class BatchedStreamingServer:
                                          cursor=self._vec_sh,
                                          count=self._vec_sh)
                 self.tl = jax.device_put(self.tl, tl_sh)
+            # variables are an explicit program ARG (so reload_weights can
+            # swap them without a retrace); keep each param's existing
+            # placement when it is already sharded over THIS mesh (TP
+            # serving — see the dryrun), replicate everything else
+            rep = NamedSharding(mesh, P())
+            self._var_sh = jax.tree.map(
+                lambda x: (x.sharding
+                           if isinstance(x, jax.Array)
+                           and isinstance(x.sharding, NamedSharding)
+                           and x.sharding.mesh == mesh else rep),
+                self.variables)
+            self.variables = jax.device_put(self.variables, self._var_sh)
             jit_kwargs = dict(
-                in_shardings=(st_sh, tl_sh, row, self._vec_sh, self._vec_sh),
+                in_shardings=(self._var_sh, st_sh, tl_sh, row,
+                              self._vec_sh, self._vec_sh),
                 out_shardings=(st_sh, tl_sh),
             )
 
-        def batched_step(states, tl, wav, active, n_valid):
+        def batched_step(variables, states, tl, wav, active, n_valid):
             """wav [S, chunk_samples] (f32, or PCM16 dequantized here on
             device); active [S] bool — fold only active rows; n_valid [S]
             int — per-stream count of REAL patches in the chunk (a flush
@@ -198,7 +211,7 @@ class BatchedStreamingServer:
 
                 wav = mulaw_decode(wav, xp=jnp)
             patches = fe.apply_frontend(wav, cfg.frontend)  # [S, P, 96, 64]
-            levels = self.model.apply(self.variables, patches, method="segment_logits")
+            levels = self.model.apply(variables, patches, method="segment_logits")
             p = patches.shape[1]
             tmask = jnp.arange(p)[None, :] < n_valid[:, None]  # [S, P]
             att_act, cla_act = stream_activations(cfg.model)
@@ -223,9 +236,9 @@ class BatchedStreamingServer:
                                               active, n_valid)
             return new_states, tl
 
-        def finalize(states):
+        def finalize(variables, states):
             return stream_finalize_scores(
-                self.model, self.variables, cfg.model.variant, states
+                self.model, variables, cfg.model.variant, states
             )
 
         self._batched_step = jax.jit(batched_step, **jit_kwargs)
@@ -240,7 +253,8 @@ class BatchedStreamingServer:
 
     def _dispatch(self, wav, active, n_valid):
         self.states, self.tl = self._batched_step(
-            *(self.states, self.tl) + self._put_batch(wav, active, n_valid)
+            *(self.variables, self.states, self.tl)
+            + self._put_batch(wav, active, n_valid)
         )
 
     def warmup(self):
@@ -256,9 +270,10 @@ class BatchedStreamingServer:
         active = np.zeros(self.S, bool)
         n_valid = np.full(self.S, self.chunk_patches, np.int32)
         self.states, self.tl = self._batched_step(
-            *(self.states, self.tl) + self._put_batch(wav, active, n_valid)
+            *(self.variables, self.states, self.tl)
+            + self._put_batch(wav, active, n_valid)
         )
-        np.asarray(self._finalize(self.states))  # compile + device sync
+        np.asarray(self._finalize(self.variables, self.states))  # compile + sync
 
     # --- stream lifecycle ---
     def open(self) -> int:
@@ -500,7 +515,36 @@ class BatchedStreamingServer:
         self._check(sid)
         if not self._fed[sid]:
             raise RuntimeError(f"stream {sid} has no processed audio yet")
-        return np.asarray(self._finalize(self.states))[sid]
+        return np.asarray(self._finalize(self.variables, self.states))[sid]
+
+    def reload_weights(self, variables) -> None:
+        """Swap the serving weights with ZERO downtime: the tick/finalize
+        programs take variables as an explicit argument (not a traced-in
+        constant), so a reload is one device_put + a pointer swap — no
+        retrace, no recompile, open streams and their accumulator states
+        untouched (chunks folded after the swap use the new weights).
+        The new tree must match the old one's structure/shapes/dtypes
+        (otherwise the jitted programs would recompile against a
+        different signature — rejected here instead).
+
+        Concurrent fronts call this under their device lock (TickLoop.
+        reload / NativeTagServer._reload) so an in-flight tick's
+        read->compute->assign window never interleaves with the swap."""
+        import jax as _jax
+
+        old_sd = _jax.tree.map(
+            lambda x: (jnp.shape(x), jnp.result_type(x)), self.variables)
+        new_sd = _jax.tree.map(
+            lambda x: (jnp.shape(x), jnp.result_type(x)), variables)
+        if old_sd != new_sd:
+            raise ValueError(
+                "reload_weights: new variables tree does not match the "
+                "serving tree (structure/shape/dtype) — a mismatched "
+                "reload would force a recompile; start a new server for "
+                "a different architecture")
+        if self._var_sh is not None:
+            variables = jax.device_put(variables, self._var_sh)
+        self.variables = variables
 
     def timeline(self, sid: int):
         """Per-patch localization window for a stream: the ring's last

@@ -163,8 +163,14 @@ class TickLoop:
             self.srv._check(sid)
             if not self.srv._fed[sid]:
                 raise RuntimeError(f"stream {sid} has no processed audio yet")
-            states = self.srv.states
-        return np.asarray(self.srv._finalize(states))[sid]
+            variables, states = self.srv.variables, self.srv.states
+        return np.asarray(self.srv._finalize(variables, states))[sid]
+
+    def reload_weights(self, variables) -> None:
+        """Zero-downtime weight swap (server.reload_weights semantics),
+        serialized against the tick thread's state-assign window."""
+        with self.dev, self.cond:
+            self.srv.reload_weights(variables)
 
     def timeline(self, sid: int):
         """Localization window (server.timeline semantics). The ring fetch
@@ -209,7 +215,7 @@ class TickLoop:
             dev_args = srv._put_batch(wav, active, n_valid)
             with self.dev:
                 srv.states, srv.tl = srv._batched_step(
-                    srv.states, srv.tl, *dev_args)
+                    srv.variables, srv.states, srv.tl, *dev_args)
             with self.cond:
                 srv._fed |= active
                 self._dispatching = False

@@ -1,0 +1,217 @@
+"""Zero-downtime weight hot-reload (server.reload_weights + /v1/reload):
+the tick/finalize programs take variables as an explicit argument, so a
+swap is one device_put — no retrace, open streams keep their accumulator
+state, and chunks folded after the swap use the new weights."""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mla_tpu.config import Config, ModelConfig
+from mla_tpu.models.zoo import build_model
+from mla_tpu.ops import attention_pool as ap
+from mla_tpu.ops.frontend import apply_frontend, waveform_to_patches
+from mla_tpu.serve.server import BatchedStreamingServer
+from mla_tpu.serve.streaming import _samples_per_patches
+
+
+def _setup(rng, variant="single_attention"):
+    cfg = Config(
+        name="reload_test",
+        model=ModelConfig(variant=variant, trunk="cnn", n_classes=7,
+                          n_blocks=1, hidden_units=32, conv_channels=(8, 16),
+                          convs_per_stage=1, compute_dtype="float32"),
+    )
+    model = build_model(cfg.model)
+    probe = waveform_to_patches(
+        jnp.asarray(rng.standard_normal(16000 * 2).astype(np.float32))[None],
+        cfg.frontend)
+    v1 = model.init(jax.random.key(0), probe)
+    v2 = model.init(jax.random.key(1), probe)
+    return cfg, model, v1, v2
+
+
+def test_reload_fresh_stream_matches_new_weight_server(rng):
+    cfg, model, v1, v2 = _setup(rng)
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 3)) * 0.3).astype(np.float32)
+
+    srv = BatchedStreamingServer(cfg, v1, max_streams=2, chunk_patches=3)
+    a = srv.open()
+    srv.feed(a, wav)
+    srv.drain()
+    before = srv.scores(a).copy()
+
+    srv.reload_weights(v2)
+    b = srv.open()
+    srv.feed(b, wav)
+    srv.drain()
+
+    ref = BatchedStreamingServer(cfg, v2, max_streams=1, chunk_patches=3)
+    r = ref.open()
+    ref.feed(r, wav)
+    ref.drain()
+    np.testing.assert_allclose(srv.scores(b), ref.scores(r),
+                               rtol=1e-5, atol=1e-6)
+    assert not np.allclose(srv.scores(b), before)  # weights really changed
+
+
+def test_reload_mid_stream_keeps_accumulator_state(rng):
+    """Chunks before the swap fold with old weights, after with new; the
+    O(1) state carries across — checked against a hand-built fold."""
+    cfg, model, v1, v2 = _setup(rng)
+    srv = BatchedStreamingServer(cfg, v1, max_streams=1, chunk_patches=3)
+    n = _samples_per_patches(cfg.frontend, 6)
+    wav = (rng.standard_normal(n) * 0.3).astype(np.float32)
+    c1 = wav[: srv.chunk_samples]
+    c2 = wav[srv.hop_samples: srv.hop_samples + srv.chunk_samples]
+
+    sid = srv.open()
+    srv.feed(sid, c1)
+    assert srv.tick() == 1
+    srv.reload_weights(v2)
+    srv.feed(sid, wav[len(c1):])  # completes chunk 2 exactly
+    assert srv.drain() == 1
+
+    def levels(v, chunk):
+        p = apply_frontend(jnp.asarray(chunk)[None], cfg.frontend)
+        return model.apply(v, p, method="segment_logits")[0]
+
+    st = ap.init_stream_state((1, cfg.model.n_classes))
+    st = ap.update_stream_state(st, *levels(v1, c1), "exp", "sigmoid")
+    st = ap.update_stream_state(st, *levels(v2, c2), "exp", "sigmoid")
+    want = np.asarray(ap.stream_finalize(st))[0]
+    np.testing.assert_allclose(srv.scores(sid), want, rtol=1e-4, atol=1e-5)
+
+
+def test_reload_rejects_mismatched_tree(rng):
+    cfg, model, v1, _ = _setup(rng)
+    srv = BatchedStreamingServer(cfg, v1, max_streams=1, chunk_patches=3)
+    other_cfg = ModelConfig(variant="single_attention", trunk="cnn",
+                            n_classes=9, n_blocks=1, hidden_units=32,
+                            conv_channels=(8, 16), convs_per_stage=1,
+                            compute_dtype="float32")
+    other = build_model(other_cfg)
+    probe = waveform_to_patches(
+        jnp.asarray(rng.standard_normal(16000 * 2).astype(np.float32))[None],
+        cfg.frontend)
+    bad = other.init(jax.random.key(0), probe)
+    with pytest.raises(ValueError, match="does not match"):
+        srv.reload_weights(bad)
+
+
+def test_reload_sharded_server(rng):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    cfg, model, v1, v2 = _setup(rng, variant="multi_level_attention")
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 3)) * 0.3).astype(np.float32)
+
+    srv = BatchedStreamingServer(cfg, v1, max_streams=4, chunk_patches=3,
+                                 mesh=mesh)
+    sid = srv.open()
+    srv.feed(sid, wav)
+    srv.drain()
+    srv.reload_weights(v2)
+    b = srv.open()
+    srv.feed(b, wav)
+    srv.drain()
+
+    ref = BatchedStreamingServer(cfg, v2, max_streams=1, chunk_patches=3)
+    r = ref.open()
+    ref.feed(r, wav)
+    ref.drain()
+    np.testing.assert_allclose(srv.scores(b), ref.scores(r),
+                               rtol=1e-5, atol=1e-6)
+
+
+def _serve_http(rng, reload_fn, create):
+    cfg, model, v1, v2 = _setup(rng)
+    srv = create(cfg, v1, port=0, max_streams=2, chunk_patches=3,
+                 transfer_dtype="float32", reload_fn=reload_fn)
+    return cfg, v1, v2, srv
+
+
+def test_http_reload_route(rng):
+    from mla_tpu.serve.client import TagClient
+    from mla_tpu.serve.http import create_server
+
+    cfg, model, v1, v2 = _setup(rng)
+    swaps = {"n": 0}
+
+    def reload_fn():
+        swaps["n"] += 1
+        return v2, {"generation": swaps["n"]}
+
+    srv = create_server(cfg, v1, port=0, max_streams=2, chunk_patches=3,
+                        transfer_dtype="float32", reload_fn=reload_fn)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://%s:%d" % srv.server_address[:2]
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 3)) * 0.3).astype(np.float32)
+    try:
+        c = TagClient(base)
+        before = dict(c.tag(wav, top_k=7, wire="float32"))
+        out = c.reload()
+        assert out == {"reloaded": True, "generation": 1}
+        after = dict(c.tag(wav, top_k=7, wire="float32"))
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    assert before != after
+    # the post-reload endpoint serves exactly v2's one-shot scores
+    from mla_tpu.serve.streaming import tag_clip
+
+    want = tag_clip(cfg, v2, wav)
+    from mla_tpu.data.labels import labels_for
+
+    labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
+    for name, p in after.items():
+        assert abs(p - float(want[labels.index(name)])) < 1e-4
+
+
+def test_http_reload_unconfigured_409(rng):
+    from mla_tpu.serve.client import TagClient, TagServiceError
+    from mla_tpu.serve.http import create_server
+
+    cfg, model, v1, _ = _setup(rng)
+    srv = create_server(cfg, v1, port=0, max_streams=2, chunk_patches=3,
+                        transfer_dtype="float32")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://%s:%d" % srv.server_address[:2]
+    try:
+        with pytest.raises(TagServiceError, match="no reload source") as e:
+            TagClient(base).reload()
+        assert e.value.status == 409
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_native_front_reload_route(rng):
+    from mla_tpu.serve import native_front
+    from mla_tpu.serve.client import TagClient
+
+    if not native_front.available():
+        pytest.skip("native serving front unavailable")
+    cfg, model, v1, v2 = _setup(rng)
+    srv = native_front.create_native_server(
+        cfg, v1, port=0, max_streams=2, chunk_patches=3,
+        transfer_dtype="float32", reload_fn=lambda: v2)
+    base = "http://%s:%d" % srv.server_address
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 3)) * 0.3).astype(np.float32)
+    try:
+        c = TagClient(base)
+        before = dict(c.tag(wav, top_k=7, wire="float32"))
+        assert c.reload()["reloaded"] is True
+        after = dict(c.tag(wav, top_k=7, wire="float32"))
+    finally:
+        srv.server_close()
+    assert before != after
