@@ -228,8 +228,13 @@ def cmd_infer(args):
     from mla_tpu.data import audio_io
     from mla_tpu.serve.streaming import StreamingTagger, tag_clip
 
-    wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
     variables = _load_variables(args, cfg)
+    if args.wav_dir:
+        _infer_dir(args, cfg, variables)
+        return
+    if not args.wav:
+        raise SystemExit("infer: one of --wav / --wav_dir is required")
+    wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
     if args.stream:
         tagger = StreamingTagger(cfg, variables)
         block = cfg.frontend.sample_rate  # feed 1 s at a time
@@ -250,6 +255,40 @@ def cmd_infer(args):
         if args.events:
             _write_events(w, f, hop_s, top, names, args)
     print(_jdump({"top_k": [[names[i], float(scores[i])] for i in top]}))
+
+
+def _infer_dir(args, cfg, variables):
+    """Batch-tag every wav under --wav_dir (recursive), one JSONL line per
+    clip on stdout (reference C15's "forward the eval set" usage as a
+    product verb). Clips of ANY length share one compiled program: each
+    clip streams through a single reset() StreamingTagger — a one-shot
+    batch would compile a fresh XLA program per distinct clip length."""
+    import glob as _glob
+
+    from mla_tpu.data import audio_io
+    from mla_tpu.data.labels import labels_for
+    from mla_tpu.serve.streaming import StreamingTagger
+
+    paths = sorted(
+        _glob.glob(os.path.join(args.wav_dir, "**", "*.wav"), recursive=True))
+    if not paths:
+        raise SystemExit(f"infer: no .wav files under {args.wav_dir}")
+    names = labels_for(cfg.data.dataset, cfg.model.n_classes, args.labels_csv)
+    tagger = StreamingTagger(cfg, variables)
+    block = 10 * cfg.frontend.sample_rate
+    for path in paths:
+        wav = audio_io.load_wav_16k(path, cfg.frontend.sample_rate)
+        tagger.reset()
+        for s in range(0, len(wav), block):
+            tagger.feed(wav[s: s + block])
+        tagger.flush()
+        scores = tagger.scores()
+        top = np.argsort(-scores)[: args.top_k]
+        print(_jdump({
+            "wav": path,
+            "seconds": round(len(wav) / cfg.frontend.sample_rate, 3),
+            "top_k": [[names[i], float(scores[i])] for i in top],
+        }))
 
 
 def _timeline_mean(cfg, variables, wav):
@@ -644,7 +683,11 @@ def main(argv=None):
 
     si = sub.add_parser("infer", help="tag a wav file")
     si.add_argument("--config", default="streaming_inference")
-    si.add_argument("--wav", required=True)
+    si.add_argument("--wav", default=None)
+    si.add_argument("--wav_dir", default=None,
+                    help="batch mode: tag every .wav under this directory "
+                         "(recursive), one JSONL line per clip; any clip "
+                         "lengths share ONE compiled streaming program")
     si.add_argument("--workspace", default=None)
     si.add_argument("--checkpoint", default="latest",
                     help="'latest' uses the newest checkpoint (random-weight demo "

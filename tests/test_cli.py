@@ -198,3 +198,43 @@ def test_summary_verb(capsys):
         cfg, build_model(cfg.model), example_input(cfg.model)))
     want = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(dict(st.params)))
     assert total == want
+
+
+def test_infer_wav_dir_batch(tmp_path, capsys):
+    """infer --wav_dir: one JSONL line per clip, any lengths, shared
+    streaming program; matches single-clip infer on the same file."""
+    import wave
+
+    import numpy as np
+
+    from mla_tpu.__main__ import main
+
+    sr = 16000
+    rng = np.random.default_rng(3)
+    for name, secs in [("a.wav", 1.5), ("sub/b.wav", 3.0)]:
+        p = tmp_path / "clips" / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        x = (0.3 * rng.standard_normal(int(sr * secs))).astype(np.float32)
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes((x * 32767).astype("<i2").tobytes())
+    main(["infer", "--config=esc50_single_attention",
+          "--wav_dir", str(tmp_path / "clips"), "--checkpoint=random",
+          "--top_k=2"])
+    lines = [json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["wav"].endswith("a.wav") and lines[0]["seconds"] == 1.5
+    assert lines[1]["wav"].endswith("sub/b.wav")
+    assert all(len(ln["top_k"]) == 2 for ln in lines)
+
+    # single-clip streaming infer on the same file gives the same top-k
+    main(["infer", "--config=esc50_single_attention", "--stream",
+          "--wav", str(tmp_path / "clips" / "a.wav"), "--checkpoint=random",
+          "--top_k=2"])
+    single = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [n for n, _ in single["top_k"]] == [n for n, _ in lines[0]["top_k"]]
+    for (_, p1), (_, p2) in zip(single["top_k"], lines[0]["top_k"]):
+        assert abs(p1 - p2) < 1e-4
