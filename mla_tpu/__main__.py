@@ -539,6 +539,12 @@ def cmd_serve(args):
                             transfer_dtype=args.transfer_dtype, mesh=mesh,
                             timeline_cap=args.timeline_cap,
                             reload_fn=reload_fn)
+    if args.reload_every > 0:
+        from mla_tpu.serve.http import start_reload_watcher
+
+        ckdir = os.path.join(args.workspace or cfg.workspace,
+                             "checkpoints", cfg.name)
+        start_reload_watcher(srv, ckdir, args.reload_every)
     host, port = srv.server_address[:2]
     sharded = f", streams sharded over {mesh.shape}" if mesh is not None else ""
     front = "native C++ front" if args.native else "stdlib front"
@@ -763,6 +769,11 @@ def main(argv=None):
                     help="enable GET /v1/streams/<sid>/timeline: record "
                          "the last N patches' localization readout in an "
                          "on-device ring inside the tick program (0 = off)")
+    ss.add_argument("--reload_every", type=float, default=0,
+                    help="auto hot-reload: poll the workspace every N "
+                         "seconds and swap weights whenever training wrote "
+                         "a newer checkpoint (zero downtime; 0 = off). "
+                         "POST /v1/reload triggers the same swap on demand")
     ss.add_argument("--set", nargs="*")
     ss.set_defaults(fn=cmd_serve)
 

@@ -50,6 +50,7 @@ API (JSON unless noted):
 from __future__ import annotations
 
 import json
+import os
 import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
@@ -458,9 +459,60 @@ class _TaggerHTTPServer(ThreadingHTTPServer):
 
     state: _TaggerState  # set by create_server
 
+    def reload_now(self) -> Dict:
+        """Hot-swap weights from the configured reload_fn (the /v1/reload
+        body, callable in-process — the auto-reload watcher uses this)."""
+        if self.state.reload_fn is None:
+            raise RuntimeError("no reload source configured")
+        out = self.state.reload_fn()
+        variables, info = out if isinstance(out, tuple) else (out, {})
+        self.state.ticker.reload_weights(variables)
+        return info
+
     def server_close(self):
         super().server_close()
         self.state.ticker.stop()
+
+
+def start_reload_watcher(srv, ckpt_dir: str, interval_s: float):
+    """Auto-reload: poll ``ckpt_dir`` (an Orbax checkpoint directory —
+    integer-named step subdirs; tmp dirs are not pure integers, so a
+    listed step is a COMPLETE save) every ``interval_s`` and hot-swap the
+    service's weights via ``srv.reload_now()`` whenever a newer step
+    appears — training and serving compose into continuous deployment
+    (`serve --reload_every`). Works on both tiers (each exposes
+    reload_now). Returns a threading.Event; set it to stop the watcher."""
+    import threading
+    import time
+
+    def latest_step():
+        try:
+            steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+            return max(steps) if steps else None
+        except OSError:
+            return None
+
+    stop = threading.Event()
+    seen = latest_step()
+
+    def watch():
+        nonlocal seen
+        while not stop.wait(interval_s):
+            step = latest_step()
+            if step is None or step == seen:
+                continue
+            try:
+                srv.reload_now()
+                seen = step
+                print(f"# auto-reload: weights from checkpoint step {step}",
+                      flush=True)
+            except Exception as e:  # keep serving on a bad/partial reload
+                print(f"# auto-reload failed at step {step}: "
+                      f"{type(e).__name__}: {e}", flush=True)
+
+    threading.Thread(target=watch, name="mla-reload-watch",
+                     daemon=True).start()
+    return stop
 
 
 def create_server(

@@ -496,6 +496,15 @@ class NativeTagServer:
         # ~27 ms tunnel fetch outside every lock (states are immutable)
         return np.asarray(self.srv._finalize(variables, states))[sid]
 
+    def reload_now(self) -> Dict:
+        """In-process hot-swap (same contract as the stdlib tier's
+        reload_now — the auto-reload watcher calls this)."""
+        try:
+            out = self._reload()
+        except _HTTPError as e:
+            raise RuntimeError(str(e))
+        return {k: v for k, v in out.items() if k != "reloaded"}
+
     def _reload(self):
         """Zero-downtime weight swap (serve/http.py's /v1/reload): swap
         under the tick thread's dev lock; open streams keep their state."""

@@ -215,3 +215,73 @@ def test_native_front_reload_route(rng):
     finally:
         srv.server_close()
     assert before != after
+
+
+def test_reload_watcher_swaps_on_new_checkpoint(tmp_path, rng):
+    """start_reload_watcher: a new integer-named step dir triggers ONE
+    reload_now; tmp/partial dirs and repeat polls of the same step don't."""
+    import time
+
+    from mla_tpu.serve.client import TagClient
+    from mla_tpu.serve.http import create_server, start_reload_watcher
+
+    cfg, model, v1, v2 = _setup(rng)
+    calls = {"n": 0}
+
+    def reload_fn():
+        calls["n"] += 1
+        return v2
+
+    ckdir = tmp_path / "checkpoints" / cfg.name
+    ckdir.mkdir(parents=True)
+    (ckdir / "0").mkdir()  # the step the server started from
+
+    srv = create_server(cfg, v1, port=0, max_streams=2, chunk_patches=3,
+                        transfer_dtype="float32", reload_fn=reload_fn)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    stop = start_reload_watcher(srv, str(ckdir), interval_s=0.05)
+    try:
+        time.sleep(0.3)
+        assert calls["n"] == 0  # no new step yet
+        (ckdir / "100.orbax-checkpoint-tmp-1").mkdir()  # in-flight save
+        time.sleep(0.2)
+        assert calls["n"] == 0  # tmp dirs are not steps
+        (ckdir / "100").mkdir()  # finalized
+        deadline = time.time() + 5
+        while calls["n"] == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert calls["n"] == 1
+        time.sleep(0.3)
+        assert calls["n"] == 1  # same step: no re-reload
+        # and the swap really landed
+        base = "http://%s:%d" % srv.server_address[:2]
+        wav = (rng.standard_normal(
+            _samples_per_patches(cfg.frontend, 3)) * 0.3).astype(np.float32)
+        from mla_tpu.serve.streaming import tag_clip
+
+        got = dict(TagClient(base).tag(wav, top_k=7, wire="float32"))
+        want = tag_clip(cfg, v2, wav)
+        from mla_tpu.data.labels import labels_for
+
+        labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
+        for name, p in got.items():
+            assert abs(p - float(want[labels.index(name)])) < 1e-4
+    finally:
+        stop.set()
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_native_reload_now(rng):
+    from mla_tpu.serve import native_front
+
+    if not native_front.available():
+        pytest.skip("native serving front unavailable")
+    cfg, model, v1, v2 = _setup(rng)
+    srv = native_front.create_native_server(
+        cfg, v1, port=0, max_streams=1, chunk_patches=3,
+        transfer_dtype="float32", reload_fn=lambda: (v2, {"step": 7}))
+    try:
+        assert srv.reload_now() == {"step": 7}
+    finally:
+        srv.server_close()
