@@ -229,31 +229,53 @@ def cmd_infer(args):
     from mla_tpu.serve.streaming import StreamingTagger, tag_clip
 
     variables = _load_variables(args, cfg)
+    want_tl = bool(getattr(args, "timeline", None) or
+                   getattr(args, "events", None))
     if args.wav_dir:
+        if args.wav:
+            raise SystemExit("infer: pass one of --wav / --wav_dir")
+        if want_tl:
+            raise SystemExit("infer: --timeline/--events are per-clip "
+                             "outputs; not supported with --wav_dir")
         _infer_dir(args, cfg, variables)
         return
     if not args.wav:
         raise SystemExit("infer: one of --wav / --wav_dir is required")
     wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
+    hop_s = (cfg.frontend.example_hop_frames * cfg.frontend.hop_length
+             / cfg.frontend.sample_rate)
+    start_patch = 0
     if args.stream:
-        tagger = StreamingTagger(cfg, variables)
+        # --stream exists for O(1)-memory long-form audio, so the timeline
+        # comes from the tagger's on-device ring (last --timeline_cap
+        # patches), NOT a whole-clip one-shot forward
+        tagger = StreamingTagger(
+            cfg, variables,
+            timeline_cap=args.timeline_cap if want_tl else 0)
         block = cfg.frontend.sample_rate  # feed 1 s at a time
         for s in range(0, len(wav), block):
             tagger.feed(wav[s : s + block])
         tagger.flush()
         scores = tagger.scores()
+        if want_tl:
+            start_patch, levels = tagger.timeline()
+            w = np.mean([wl for wl, _ in levels], axis=0)
+            f = np.mean([fl for _, fl in levels], axis=0)
     else:
         scores = tag_clip(cfg, variables, wav)
+        if want_tl:
+            w, f = _timeline_mean(cfg, variables, wav)
     from mla_tpu.data.labels import labels_for
 
     names = labels_for(cfg.data.dataset, cfg.model.n_classes, args.labels_csv)
     top = np.argsort(-scores)[: args.top_k]
-    if getattr(args, "timeline", None) or getattr(args, "events", None):
-        w, f, hop_s = _timeline_mean(cfg, variables, wav)
+    if want_tl:
         if args.timeline:
-            _write_timeline(w, f, hop_s, top, names, args.timeline)
+            _write_timeline_csv(args.timeline, start_patch, hop_s,
+                                [names[i] for i in top],
+                                f[:, top], w[:, top])
         if args.events:
-            _write_events(w, f, hop_s, top, names, args)
+            _write_events(w, f, hop_s, start_patch, top, names, args)
     print(_jdump({"top_k": [[names[i], float(scores[i])] for i in top]}))
 
 
@@ -293,7 +315,7 @@ def _infer_dir(args, cfg, variables):
 
 def _timeline_mean(cfg, variables, wav):
     """One-shot level-mean localization readout: (weights [T, C],
-    probs [T, C], hop seconds) via model.timeline over the whole clip."""
+    probs [T, C]) via model.timeline over the whole clip."""
     import jax.numpy as jnp
 
     from mla_tpu.models.zoo import build_model
@@ -304,34 +326,39 @@ def _timeline_mean(cfg, variables, wav):
     tl = model.apply(variables, patches, method="timeline")
     w = np.mean([np.asarray(wl, np.float32)[0] for wl, _ in tl], axis=0)
     f = np.mean([np.asarray(fl, np.float32)[0] for _, fl in tl], axis=0)
-    hop_s = (cfg.frontend.example_hop_frames * cfg.frontend.hop_length
-             / cfg.frontend.sample_rate)
-    return w, f, hop_s
+    return w, f
 
 
-def _write_timeline(w, f, hop_s, top, names, path):
-    """Per-patch localization CSV (model.timeline): one row per 0.96 s
-    patch, columns prob:<label> (segment classifier) and att:<label>
-    (time-normalized attention weight; uniform = 1/n_patches) for the
-    clip's top-k classes, level-averaged."""
+def _write_timeline_csv(path, start_patch, hop_s, col_names, probs, atts):
+    """THE per-patch localization CSV writer (infer --timeline and
+    tag --timeline share it so the format cannot fork): one row per
+    0.96 s patch with ABSOLUTE patch indices/times, columns prob:<label>
+    (segment classifier) and att:<label> (time-normalized attention
+    weight; uniform = 1/n_patches) per selected class, level-averaged.
+    probs/atts: [T, k] arrays, columns ordered like col_names."""
+    probs = np.asarray(probs, np.float32)
+    atts = np.asarray(atts, np.float32)
     with open(path, "w") as fh:
-        cols = ",".join(f"prob:{names[i]},att:{names[i]}" for i in top)
+        cols = ",".join(f"prob:{n},att:{n}" for n in col_names)
         fh.write(f"patch,time_s,{cols}\n")
-        for t in range(w.shape[0]):
-            vals = ",".join(f"{f[t, i]:.6f},{w[t, i]:.6f}" for i in top)
-            fh.write(f"{t},{t * hop_s:.3f},{vals}\n")
-    print(f"# timeline: {w.shape[0]} patches x top-{len(top)} classes -> {path}",
-          file=sys.stderr)
+        for t in range(probs.shape[0]):
+            patch = start_patch + t
+            vals = ",".join(f"{probs[t, j]:.6f},{atts[t, j]:.6f}"
+                            for j in range(probs.shape[1]))
+            fh.write(f"{patch},{patch * hop_s:.3f},{vals}\n")
+    print(f"# timeline: {probs.shape[0]} patches x top-{len(col_names)} "
+          f"classes -> {path}", file=sys.stderr)
 
 
-def _write_events(w, f, hop_s, top, names, args):
+def _write_events(w, f, hop_s, start_patch, top, names, args):
     """Discrete event list (serve/events.py over the clip's top-k classes)
     as one JSON file: threshold / gap-merge / min-duration via
     --event_threshold / --event_gap / --event_min_dur."""
     from mla_tpu.serve.events import detect_events
 
     events = detect_events(
-        f, w, hop_s=hop_s, threshold=args.event_threshold,
+        f, w, hop_s=hop_s, start_patch=start_patch,
+        threshold=args.event_threshold,
         merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur,
         class_names=names, classes=[int(i) for i in top])
     with open(args.events, "w") as fh:
@@ -511,6 +538,16 @@ def cmd_serve(args):
     cfg = _load_cfg(args)
     from mla_tpu.serve.http import create_server
 
+    # snapshot the step BEFORE loading: if a newer checkpoint lands in the
+    # load->watcher window the watcher does one redundant (harmless)
+    # reload, instead of silently skipping a step written during warmup
+    ckdir = os.path.join(args.workspace or cfg.workspace,
+                         "checkpoints", cfg.name)
+    try:
+        loaded_step = max((int(d) for d in os.listdir(ckdir) if d.isdigit()),
+                          default=None)
+    except OSError:
+        loaded_step = None
     variables = _load_variables(args, cfg)
     mesh = None
     if args.shard_streams:
@@ -518,11 +555,25 @@ def cmd_serve(args):
 
         mesh = pmesh.make_mesh()
 
+    _reload_cache = {}
+
     def reload_fn():
-        # POST /v1/reload: re-read the same checkpoint source the server
-        # started from (latest checkpoint in the workspace; random demo
-        # weights only if that is what the server started with)
-        return _load_variables(args, cfg)
+        # POST /v1/reload + the --reload_every watcher: re-read the
+        # workspace's LATEST checkpoint. Deliberately lighter than
+        # _load_variables: the abstract-state sample is computed once and
+        # cached (resume() would otherwise rebuild the training dataset on
+        # every reload just to learn a shape — a stall on this 1-core
+        # host), and a missing checkpoint is an error rather than a silent
+        # fall-back to random weights mid-service.
+        from mla_tpu.train.loop import resume, resume_sample
+        from mla_tpu.train.state import eval_params, variables_from_state
+
+        if "sample" not in _reload_cache:
+            _reload_cache["sample"] = resume_sample(cfg)
+        state, _ = resume(cfg, args.workspace,
+                          sample=_reload_cache["sample"])
+        variables = variables_from_state(state, eval_params(cfg, state))
+        return variables, {"step": int(state.step)}
 
     if args.native:
         from mla_tpu.serve.native_front import create_native_server
@@ -542,9 +593,11 @@ def cmd_serve(args):
     if args.reload_every > 0:
         from mla_tpu.serve.http import start_reload_watcher
 
-        ckdir = os.path.join(args.workspace or cfg.workspace,
-                             "checkpoints", cfg.name)
-        start_reload_watcher(srv, ckdir, args.reload_every)
+        # loaded_step was captured BEFORE server construction/warmup: a
+        # checkpoint that lands during the (minutes-long) warmup window
+        # must still trigger a reload
+        start_reload_watcher(srv, ckdir, args.reload_every,
+                             initial_step=loaded_step)
     host, port = srv.server_address[:2]
     sharded = f", streams sharded over {mesh.shape}" if mesh is not None else ""
     front = "native C++ front" if args.native else "stdlib front"
@@ -602,17 +655,9 @@ def cmd_tag(args):
             s.flush()
             top = s.scores(top_k=args.top_k)
             tl = s.timeline(top_k=args.top_k)
-        with open(args.timeline, "w") as fh:
-            names = [n for n, _ in tl["classes"]]
-            cols = ",".join(f"prob:{n},att:{n}" for n in names)
-            fh.write(f"patch,time_s,{cols}\n")
-            for t, (wrow, frow) in enumerate(zip(tl["weights"], tl["probs"])):
-                patch = tl["start_patch"] + t
-                vals = ",".join(f"{f:.6f},{w:.6f}"
-                                for w, f in zip(wrow, frow))
-                fh.write(f"{patch},{patch * tl['hop_s']:.3f},{vals}\n")
-        print(f"# timeline: {len(tl['weights'])} patches x top-{len(names)} "
-              f"classes -> {args.timeline}", file=sys.stderr)
+        _write_timeline_csv(args.timeline, tl["start_patch"], tl["hop_s"],
+                            [n for n, _ in tl["classes"]],
+                            tl["probs"], tl["weights"])
     elif args.wire == "wav":
         top = c.tag_file(args.wav, top_k=args.top_k)
     else:
@@ -716,6 +761,10 @@ def main(argv=None):
                     help="merge events separated by gaps <= this (seconds)")
     si.add_argument("--event_min_dur", type=float, default=0.0,
                     help="drop events shorter than this (seconds)")
+    si.add_argument("--timeline_cap", type=int, default=256,
+                    help="with --stream: size of the on-device localization "
+                         "ring --timeline/--events read (the LAST N patches "
+                         "— keeps long-form audio O(1)-memory)")
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
 

@@ -287,8 +287,9 @@ class _Handler(BaseHTTPRequestHandler):
         if m and m.group(2) == "timeline":
             sid = int(m.group(1))
             try:
-                scores = st.ticker.scores(sid)
-                start, levels = st.ticker.timeline(sid)
+                # one consistent snapshot: the classes labeling the window
+                # must reflect the same folded chunks as the window rows
+                scores, start, levels = st.ticker.timeline_with_scores(sid)
             except KeyError as e:
                 self._error(404, str(e))
                 return
@@ -317,15 +318,14 @@ class _Handler(BaseHTTPRequestHandler):
             # zero-downtime weight swap: re-read the configured checkpoint
             # source and swap it under the tick thread's device lock —
             # no retrace (variables are a program ARG), open streams and
-            # their accumulator states untouched
-            if st.reload_fn is None:
-                self._error(409, "no reload source configured (start the "
-                                 "service with a reload_fn / the serve verb)")
-                return
+            # their accumulator states untouched. One implementation per
+            # tier: this delegates to _TaggerHTTPServer.reload_now (the
+            # auto-reload watcher's entry point too).
             try:
-                out = st.reload_fn()
-                variables, info = out if isinstance(out, tuple) else (out, {})
-                st.ticker.reload_weights(variables)
+                info = self.server.reload_now()
+            except RuntimeError as e:  # no reload source configured
+                self._error(409, str(e))
+                return
             except ValueError as e:  # mismatched tree
                 self._error(409, str(e))
                 return
@@ -452,6 +452,17 @@ class _Handler(BaseHTTPRequestHandler):
         self._error(404, f"no route {self.path}")
 
 
+def _call_reload_fn(reload_fn):
+    """Normalize a reload_fn result to (variables, info) — the one place
+    that owns the 'variables or (variables, info_dict)' contract for both
+    HTTP tiers and the watcher."""
+    if reload_fn is None:
+        raise RuntimeError("no reload source configured (start the "
+                           "service with a reload_fn / the serve verb)")
+    out = reload_fn()
+    return out if isinstance(out, tuple) else (out, {})
+
+
 class _TaggerHTTPServer(ThreadingHTTPServer):
     """ThreadingHTTPServer that also stops the device tick thread when the
     service shuts down (otherwise every test-created server would leave a
@@ -461,11 +472,8 @@ class _TaggerHTTPServer(ThreadingHTTPServer):
 
     def reload_now(self) -> Dict:
         """Hot-swap weights from the configured reload_fn (the /v1/reload
-        body, callable in-process — the auto-reload watcher uses this)."""
-        if self.state.reload_fn is None:
-            raise RuntimeError("no reload source configured")
-        out = self.state.reload_fn()
-        variables, info = out if isinstance(out, tuple) else (out, {})
+        handler and the auto-reload watcher both call this)."""
+        variables, info = _call_reload_fn(self.state.reload_fn)
         self.state.ticker.reload_weights(variables)
         return info
 
@@ -474,14 +482,20 @@ class _TaggerHTTPServer(ThreadingHTTPServer):
         self.state.ticker.stop()
 
 
-def start_reload_watcher(srv, ckpt_dir: str, interval_s: float):
+def start_reload_watcher(srv, ckpt_dir: str, interval_s: float,
+                         initial_step: Optional[int] = None):
     """Auto-reload: poll ``ckpt_dir`` (an Orbax checkpoint directory —
     integer-named step subdirs; tmp dirs are not pure integers, so a
     listed step is a COMPLETE save) every ``interval_s`` and hot-swap the
     service's weights via ``srv.reload_now()`` whenever a newer step
     appears — training and serving compose into continuous deployment
     (`serve --reload_every`). Works on both tiers (each exposes
-    reload_now). Returns a threading.Event; set it to stop the watcher."""
+    reload_now). Returns a threading.Event; set it to stop the watcher.
+
+    ``initial_step``: the step the server actually LOADED. Pass it when
+    known — seeding from the directory at watcher start would silently
+    skip a checkpoint written during server construction/warmup (which
+    takes minutes at high max_streams on this platform)."""
     import threading
     import time
 
@@ -493,7 +507,7 @@ def start_reload_watcher(srv, ckpt_dir: str, interval_s: float):
             return None
 
     stop = threading.Event()
-    seen = latest_step()
+    seen = latest_step() if initial_step is None else initial_step
 
     def watch():
         nonlocal seen

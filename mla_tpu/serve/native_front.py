@@ -362,8 +362,7 @@ class NativeTagServer:
                 from mla_tpu.serve.http import _timeline_payload
 
                 try:
-                    scores = self._scores(sid)
-                    start, levels = self._timeline(sid)
+                    scores, start, levels = self._timeline_with_scores(sid)
                 except KeyError as e:
                     raise _HTTPError(404, str(e))
                 except RuntimeError as e:
@@ -523,14 +522,22 @@ class NativeTagServer:
             raise _HTTPError(409, str(e))
         return {"reloaded": True, **info}
 
-    def _timeline(self, sid: int):
+    def _timeline_with_scores(self, sid: int):
+        """(scores, start_patch, levels) from ONE consistent snapshot,
+        taken under ``dev`` as well as ``host_lock`` — the tick thread
+        assigns states and tl as two attribute stores under ``dev``, so a
+        host_lock-only reader could pair a pre-tick states with a
+        post-tick ring. Fetches run outside the locks."""
         self._lib.sf_wait_drained(self._h, sid, _SYNC_TIMEOUT_MS)
-        with self.host_lock:
+        with self.dev, self.host_lock:
             self.srv._check(sid)
             if not self.srv._fed[sid]:
                 raise RuntimeError(f"stream {sid} has no processed audio yet")
-            states, tl = self.srv.states, self.srv.tl
-        return self.srv.timeline_from(states, tl, sid)
+            variables, states, tl = (self.srv.variables, self.srv.states,
+                                     self.srv.tl)
+        scores = np.asarray(self.srv._finalize(variables, states))[sid]
+        start, levels = self.srv.timeline_from(states, tl, sid)
+        return scores, start, levels
 
     def _tag(self, body: bytes, ctype: str, xs: Optional[int], top_k: int):
         """One-shot tag (reference C15): transient slot on the shared

@@ -175,13 +175,26 @@ class TickLoop:
     def timeline(self, sid: int):
         """Localization window (server.timeline semantics). The ring fetch
         (~1 MB) runs outside every lock on an immutable snapshot."""
+        return self.timeline_with_scores(sid)[1:]
+
+    def timeline_with_scores(self, sid: int):
+        """(scores, start_patch, levels) from ONE consistent snapshot —
+        the HTTP timeline route labels the window with the clip scores, so
+        both must reflect the same set of folded chunks. The snapshot is
+        taken under ``dev`` as well as ``cond``: the tick thread assigns
+        states and tl as two attribute stores under ``dev``, so a
+        cond-only reader could pair a pre-tick states with a post-tick
+        ring (weights > 1). Fetches run outside the locks."""
         self._wait_drained(sid)
-        with self.cond:
+        with self.dev, self.cond:
             self.srv._check(sid)
             if not self.srv._fed[sid]:
                 raise RuntimeError(f"stream {sid} has no processed audio yet")
-            states, tl = self.srv.states, self.srv.tl
-        return self.srv.timeline_from(states, tl, sid)
+            variables, states, tl = (self.srv.variables, self.srv.states,
+                                     self.srv.tl)
+        scores = np.asarray(self.srv._finalize(variables, states))[sid]
+        start, levels = self.srv.timeline_from(states, tl, sid)
+        return scores, start, levels
 
     # --- tick thread -----------------------------------------------------
     def _n_ready(self) -> int:

@@ -492,23 +492,42 @@ def fit(cfg: Config, workspace: Optional[str] = None, log: bool = True,
     return result
 
 
-def resume(cfg: Config, workspace: Optional[str] = None) -> Tuple[TrainState, Optional[Dict]]:
-    """Restore the latest checkpoint for cfg (deterministic resume, T10)."""
-    workspace = workspace or cfg.workspace
+def resume_sample(cfg: Config):
+    """The sample batch array ``resume`` shapes the abstract TrainState
+    from. For the waveform kind the shape follows from cfg alone (clip
+    seconds x sample rate); only the features kind needs the dataset
+    build to learn the packed feature dims. Cache the result when calling
+    ``resume`` repeatedly (e.g. the serving hot-reload path)."""
     kind = "features" if cfg.model.trunk == "none" else "waveform"
-    train_ds = make_dataset(cfg.data, cfg.model.n_classes, "train", cfg.frontend, kind)
-    model = build_model(cfg.model)
     bs = cfg.train.batch_size
     if kind == "waveform":
         from mla_tpu.ops.frontend import waveform_to_patches
 
+        n = int(cfg.data.clip_seconds * cfg.frontend.sample_rate)
         shp = jax.eval_shape(
             lambda w: waveform_to_patches(w, cfg.frontend),
-            jax.ShapeDtypeStruct(train_ds.x[:bs].shape, jax.numpy.float32),
+            jax.ShapeDtypeStruct((bs, n), jax.numpy.float32),
         )
-        sample = jax.numpy.zeros(shp.shape, shp.dtype)
-    else:
-        sample = jax.numpy.asarray(train_ds.x[:bs])
+        return jax.numpy.zeros(shp.shape, shp.dtype)
+    train_ds = make_dataset(cfg.data, cfg.model.n_classes, "train",
+                            cfg.frontend, kind)
+    return jax.numpy.asarray(train_ds.x[:bs])
+
+
+def resume(cfg: Config, workspace: Optional[str] = None,
+           sample=None) -> Tuple[TrainState, Optional[Dict]]:
+    """Restore the latest checkpoint for cfg (deterministic resume, T10).
+    ``sample`` (see :func:`resume_sample`) skips recomputing the abstract
+    state's sample batch; the manager is closed after the restore so
+    repeated callers (the serving reload path) don't accumulate Orbax
+    resources."""
+    workspace = workspace or cfg.workspace
+    model = build_model(cfg.model)
+    if sample is None:
+        sample = resume_sample(cfg)
     abstract = jax.eval_shape(lambda: create_train_state(cfg, model, sample))
     mgr = CheckpointManager(os.path.join(workspace, "checkpoints", cfg.name))
-    return mgr.restore(abstract)
+    try:
+        return mgr.restore(abstract)
+    finally:
+        mgr.close()

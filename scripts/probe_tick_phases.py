@@ -63,7 +63,8 @@ class ProbedServer(native_front.NativeTagServer):
             dev_args = srv._put_batch(wav, active, n_valid)
             t3 = time.perf_counter()
             with self.dev:
-                srv.states = srv._batched_step(srv.states, *dev_args)
+                srv.states, srv.tl = srv._batched_step(
+                    srv.variables, srv.states, srv.tl, *dev_args)
             t4 = time.perf_counter()
             with self.host_lock:
                 srv._fed |= active

@@ -508,3 +508,56 @@ def test_tag_timeline_cli(tmp_path, rng):
     assert lines[0].startswith("patch,time_s,prob:")
     assert lines[0].count("att:") == 2
     assert len(lines) >= 4  # header + >= 3 patches of a 5-patch clip
+
+
+def test_infer_stream_timeline_uses_ring(tmp_path, rng):
+    """infer --stream --timeline reads the tagger's on-device ring (O(1)
+    memory for long-form audio): a small --timeline_cap yields only the
+    LAST cap patches, with absolute patch indices in the CSV."""
+    import wave
+
+    from mla_tpu.__main__ import main
+
+    sr = 16000
+    x = (0.3 * rng.standard_normal(sr * 8)).astype(np.float32)  # ~8 patches
+    wav_path = tmp_path / "long.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+    out = tmp_path / "tl.csv"
+    main(["infer", "--config=esc50_single_attention", "--wav", str(wav_path),
+          "--checkpoint=random", "--stream", "--top_k=2",
+          "--timeline", str(out), "--timeline_cap=10",
+          "--set", "model.compute_dtype=float32"])
+    lines = out.read_text().strip().splitlines()
+    n_rows = len(lines) - 1
+    assert n_rows > 4  # whole 8 s clip fits cap=10 (chunk_patches=10)
+    assert lines[1].split(",")[0] == "0"
+
+    # cap smaller than the clip: only the last cap rows, absolute indices
+    out2 = tmp_path / "tl2.csv"
+    main(["infer", "--config=esc50_single_attention", "--wav", str(wav_path),
+          "--checkpoint=random", "--stream", "--top_k=2",
+          "--timeline", str(out2), "--timeline_cap=10",
+          "--set", "model.compute_dtype=float32",
+          "--events", str(tmp_path / "ev.json"), "--event_threshold=0.0"])
+    import json as _json
+
+    evs = _json.loads((tmp_path / "ev.json").read_text())["events"]
+    assert len(evs) == 2  # threshold 0: one full-window event per class
+    # event timestamps live on the absolute patch grid of the window
+    rows2 = out2.read_text().strip().splitlines()[1:]
+    first_t = float(rows2[0].split(",")[1])
+    assert all(abs(e["t_start"] - first_t) < 1e-6 for e in evs)
+
+
+def test_infer_wav_dir_rejects_timeline_flags(tmp_path, rng):
+    from mla_tpu.__main__ import main
+
+    (tmp_path / "clips").mkdir()
+    with pytest.raises(SystemExit, match="per-clip"):
+        main(["infer", "--config=esc50_single_attention",
+              "--wav_dir", str(tmp_path / "clips"), "--checkpoint=random",
+              "--events", str(tmp_path / "ev.json")])
