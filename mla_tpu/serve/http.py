@@ -268,6 +268,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(200, {"ok": True, "open_streams": open_n,
                               "backlog": st.ticker.backlog(),
                               "max_streams": st.server.S,
+                              "ticks": st.ticker.ticks,
+                              "ticked_streams": st.ticker.ticked_streams,
                               "variant": st.cfg.model.variant,
                               "sample_rate": st.cfg.frontend.sample_rate,
                               "transfer_dtype": st.server.transfer_dtype})

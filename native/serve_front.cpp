@@ -115,6 +115,7 @@ struct Server {
   std::mutex mu;
   std::condition_variable cv_data, cv_tick, cv_queue;
   bool tick_inflight = false;
+  long long ticks = 0, ticked_streams = 0;  // healthz gauges (under mu)
   std::vector<Stream> streams;
 
   int64_t next_id = 1;
@@ -411,16 +412,20 @@ bool handle_audio_fast(Server* sv, int fd, int sid, const Request& rq) {
 
 void handle_healthz(Server* sv, int fd, const Request& rq) {
   long open_n = 0, backlog;
+  long long ticks, ticked;
   {
     std::lock_guard<std::mutex> lk(sv->mu);
     for (const auto& s : sv->streams) open_n += s.open ? 1 : 0;
     backlog = sv->backlog_locked();
+    ticks = sv->ticks;
+    ticked = sv->ticked_streams;
   }
-  char body[512];
+  char body[640];
   int n = snprintf(body, sizeof(body),
                    "{\"ok\": true, \"open_streams\": %ld, \"backlog\": %ld, "
-                   "\"max_streams\": %zu, \"native_front\": true%s%s}",
-                   open_n, backlog, sv->streams.size(),
+                   "\"max_streams\": %zu, \"ticks\": %lld, "
+                   "\"ticked_streams\": %lld, \"native_front\": true%s%s}",
+                   open_n, backlog, sv->streams.size(), ticks, ticked,
                    sv->health_fragment.empty() ? "" : ", ",
                    sv->health_fragment.c_str());
   respond(fd, 200, std::string(body, (size_t)n), !rq.keep_alive);
@@ -760,7 +765,11 @@ int sf_wait_gather(void* h, uint8_t* wav, uint8_t* active, int timeout_ms) {
   // n_active can be 0 here: the chunk that woke us may have vanished
   // during a cv wait (stream closed, flush drained it). Python skips
   // sf_tick_done for 0, so only mark a tick in flight when one will run.
-  if (n_active > 0) sv->tick_inflight = true;
+  if (n_active > 0) {
+    sv->tick_inflight = true;
+    sv->ticks++;
+    sv->ticked_streams += n_active;
+  }
   return n_active;
 }
 

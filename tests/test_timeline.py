@@ -561,3 +561,48 @@ def test_infer_wav_dir_rejects_timeline_flags(tmp_path, rng):
         main(["infer", "--config=esc50_single_attention",
               "--wav_dir", str(tmp_path / "clips"), "--checkpoint=random",
               "--events", str(tmp_path / "ev.json")])
+
+
+def test_timeline_consistent_under_concurrent_feeds(rng):
+    """Regression for the torn-snapshot race: timeline readers must pair
+    states and tl from the SAME tick (snapshot under the device lock).
+    A reader pairing a pre-tick state with a post-tick ring would emit
+    exp-gate weights > 1 (ring gate logit above the stale running max).
+    Hammers timeline() on one stream while another stream feeds."""
+    import threading as _th
+
+    from mla_tpu.serve.server import BatchedStreamingServer
+    from mla_tpu.serve.streaming import _samples_per_patches
+    from mla_tpu.serve.ticker import TickLoop
+
+    cfg, model, variables = _serve_setup("single_attention", rng)
+    loop = TickLoop(BatchedStreamingServer(
+        cfg, variables, max_streams=2, chunk_patches=2, timeline_cap=4))
+    try:
+        a, b = loop.open(), loop.open()
+        chunk = _samples_per_patches(cfg.frontend, 2)
+        loop.feed(a, (rng.standard_normal(chunk) * 0.3).astype(np.float32))
+
+        stop = _th.Event()
+        errs = []
+
+        def feeder():
+            while not stop.is_set():
+                loop.feed(b, (rng.standard_normal(chunk) * 0.5
+                              ).astype(np.float32), sync=False)
+
+        t = _th.Thread(target=feeder, daemon=True)
+        t.start()
+        try:
+            for _ in range(40):
+                _, levels = loop.timeline(a)
+                w, f = levels[0]
+                if not ((w >= 0).all() and (w <= 1.0 + 1e-5).all()
+                        and np.isfinite(w).all()):
+                    errs.append(w.copy())
+        finally:
+            stop.set()
+            t.join(timeout=10)
+        assert not errs, f"inconsistent weights observed: {errs[0]}"
+    finally:
+        loop.stop()
