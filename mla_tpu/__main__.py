@@ -183,11 +183,10 @@ def cmd_eval(args):
 
     eval_step = jax.jit(make_eval_step(cfg, model, kind))
     stats = evaluate(cfg, model, state, eval_ds, eval_step, mesh)
-    if args.per_class:
+    if args.per_class or args.calibrate:
         from mla_tpu.data.labels import labels_for
         from mla_tpu.data.sampler import SequentialSampler
         from mla_tpu.parallel import mesh as pmesh
-        from mla_tpu.utils.metrics import write_per_class_csv
 
         outs = []
         bs = cfg.train.batch_size
@@ -196,10 +195,28 @@ def cmd_eval(args):
             if len(idx) < bs:
                 x = np.concatenate([x, np.repeat(x[-1:], bs - len(idx), 0)])
             outs.append(np.asarray(eval_step(state, pmesh.shard_batch(x, mesh)))[: len(idx)])
-        write_per_class_csv(
-            args.per_class, np.concatenate(outs), eval_ds.y,
-            labels_for(cfg.data.dataset, cfg.model.n_classes),
-        )
+        scores = np.concatenate(outs)
+        names = labels_for(cfg.data.dataset, cfg.model.n_classes)
+        if args.per_class:
+            from mla_tpu.utils.metrics import write_per_class_csv
+
+            write_per_class_csv(args.per_class, scores, eval_ds.y, names)
+        if args.calibrate:
+            # per-class decision thresholds at a precision target (maximal
+            # recall) — the operating point infer --events / detect_events
+            # consume via --thresholds
+            from mla_tpu.utils.metrics import calibrate_thresholds
+
+            thr = calibrate_thresholds(scores, eval_ds.y,
+                                       args.target_precision)
+            with open(args.calibrate, "w") as fh:
+                json.dump({"target_precision": args.target_precision,
+                           "thresholds": {n: round(float(t), 6)
+                                          for n, t in zip(names, thr)}},
+                          fh, indent=1)
+            print(f"# thresholds: {len(thr)} classes at precision>="
+                  f"{args.target_precision} -> {args.calibrate}",
+                  file=sys.stderr)
     print(_jdump(stats))
 
 
@@ -353,16 +370,31 @@ def _write_timeline_csv(path, start_patch, hop_s, col_names, probs, atts):
 def _write_events(w, f, hop_s, start_patch, top, names, args):
     """Discrete event list (serve/events.py over the clip's top-k classes)
     as one JSON file: threshold / gap-merge / min-duration via
-    --event_threshold / --event_gap / --event_min_dur."""
+    --event_threshold / --event_gap / --event_min_dur, or per-class
+    calibrated thresholds from ``eval --calibrate`` via --thresholds."""
     from mla_tpu.serve.events import detect_events
 
+    threshold = args.event_threshold
+    if getattr(args, "thresholds", None):
+        with open(args.thresholds) as fh:
+            table = json.load(fh)["thresholds"]
+        missing = [n for n in names if n not in table]
+        if missing:
+            raise SystemExit(
+                f"infer: --thresholds file lacks {len(missing)} of this "
+                f"config's classes (e.g. {missing[:3]}) — calibrate with "
+                "the same config/labels")
+        threshold = np.asarray([table[n] for n in names], np.float32)
     events = detect_events(
         f, w, hop_s=hop_s, start_patch=start_patch,
-        threshold=args.event_threshold,
+        threshold=threshold,
         merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur,
         class_names=names, classes=[int(i) for i in top])
     with open(args.events, "w") as fh:
-        json.dump({"hop_s": hop_s, "threshold": args.event_threshold,
+        json.dump({"hop_s": hop_s,
+                   "threshold": (args.event_threshold
+                                 if np.ndim(threshold) == 0 else
+                                 f"per-class ({args.thresholds})"),
                    "events": events}, fh, indent=1)
     print(f"# events: {len(events)} -> {args.events}", file=sys.stderr)
 
@@ -719,6 +751,12 @@ def main(argv=None):
     sv.add_argument("--workspace", default=None)
     sv.add_argument("--per_class", default=None,
                     help="write per-class AP/AUC/d' CSV to this path")
+    sv.add_argument("--calibrate", default=None, metavar="JSON",
+                    help="write per-class decision thresholds calibrated "
+                         "on the eval set (maximal recall at "
+                         "--target_precision); infer --events consumes "
+                         "them via --thresholds")
+    sv.add_argument("--target_precision", type=float, default=0.8)
     sv.add_argument("--set", nargs="*")
     sv.set_defaults(fn=cmd_eval)
 
@@ -757,6 +795,9 @@ def main(argv=None):
                          "+ min-duration over the top-k classes' per-patch "
                          "probs — serve/events.py)")
     si.add_argument("--event_threshold", type=float, default=0.5)
+    si.add_argument("--thresholds", default=None, metavar="JSON",
+                    help="per-class thresholds from eval --calibrate "
+                         "(overrides --event_threshold)")
     si.add_argument("--event_gap", type=float, default=0.0,
                     help="merge events separated by gaps <= this (seconds)")
     si.add_argument("--event_min_dur", type=float, default=0.0,

@@ -29,7 +29,7 @@ def detect_events(
     weights: Optional[np.ndarray] = None,
     hop_s: float = 0.96,
     start_patch: int = 0,
-    threshold: float = 0.5,
+    threshold=0.5,
     merge_gap_s: float = 0.0,
     min_dur_s: float = 0.0,
     class_names: Optional[Sequence[str]] = None,
@@ -38,7 +38,10 @@ def detect_events(
     """Threshold per-patch class probabilities into discrete events.
 
     probs: [T, C] segment probabilities (timeline ``f``, level-mean or a
-        single level). weights: optional [T, C] attention weights
+        single level). threshold: one global cutoff, or a per-class [C]
+        array (e.g. utils.metrics.calibrate_thresholds — maximal recall
+        at a precision target on an eval set). weights: optional [T, C]
+        attention weights
         (timeline ``w``) — reported per event as ``att_mass`` (the share
         of the clip decision's attention inside the event; for the exp
         gate these sum to <= 1 over the window). hop_s / start_patch:
@@ -70,10 +73,17 @@ def detect_events(
             f"{len(class_names)} class names for {c_n} classes")
     gap_patches = int(np.floor(merge_gap_s / hop_s + 1e-9)) if hop_s else 0
     min_patches = max(1, int(np.ceil(min_dur_s / hop_s - 1e-9))) if hop_s else 1
+    thr = np.asarray(threshold, np.float32)
+    if thr.ndim == 0:
+        thr = np.full(c_n, float(thr), np.float32)
+    elif thr.shape != (c_n,):
+        raise ValueError(
+            f"threshold must be a scalar or [{c_n}] per-class array, got "
+            f"shape {thr.shape}")
 
     events: List[Dict] = []
     for c in (range(c_n) if classes is None else classes):
-        active = probs[:, c] >= threshold
+        active = probs[:, c] >= thr[c]
         runs = _runs(active)
         runs = _merge_runs(runs, gap_patches)
         for s, e in runs:  # [s, e) in patch indices

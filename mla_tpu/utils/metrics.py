@@ -104,6 +104,43 @@ def per_class_stats(scores: np.ndarray, targets: np.ndarray):
     return {"AP": ap, "AUC": auc, "d_prime": dp}
 
 
+def calibrate_thresholds(scores: np.ndarray, targets: np.ndarray,
+                         target_precision: float = 0.8,
+                         default: float = 0.5) -> np.ndarray:
+    """Per-class decision thresholds from eval scores: the LOWEST score
+    cutoff whose precision on (scores, targets) still reaches
+    ``target_precision`` — i.e. maximal recall at the precision target
+    (the standard operating-point pick for detection/event output).
+
+    scores, targets: [N, C]. Returns [C] float32. A class where no cutoff
+    reaches the target (or with no positives) falls back to ``default``.
+    Thresholds are placed midway between the last passing score and the
+    next one below, so eval clips compare strictly-greater-or-equal
+    stably under float noise.
+    """
+    scores = np.asarray(scores, np.float64)
+    targets = np.asarray(targets, np.float64)
+    n, c = scores.shape
+    order = np.argsort(-scores, axis=0, kind="stable")
+    sorted_t = np.take_along_axis(targets, order, axis=0)
+    sorted_s = np.take_along_axis(scores, order, axis=0)
+    tp = np.cumsum(sorted_t, axis=0)
+    k = np.arange(1, n + 1)[:, None]
+    precision = tp / k
+    out = np.full(c, default, np.float32)
+    for j in range(c):
+        if sorted_t[:, j].sum() == 0:
+            continue
+        ok = np.nonzero(precision[:, j] >= target_precision)[0]
+        if len(ok) == 0:
+            continue
+        i = ok[-1]  # deepest cut still meeting the precision target
+        lo = sorted_s[i, j]
+        below = sorted_s[i + 1, j] if i + 1 < n else lo - 1e-6
+        out[j] = np.float32((lo + below) / 2.0)
+    return out
+
+
 def write_per_class_csv(path: str, scores: np.ndarray, targets: np.ndarray,
                         class_names=None):
     import csv as _csv

@@ -132,3 +132,89 @@ def test_client_events_integration(rng):
         assert e["t_start"] == pytest.approx(tl["start_patch"] * tl["hop_s"])
         assert e["t_end"] == pytest.approx(
             (tl["start_patch"] + n) * tl["hop_s"])
+
+
+def test_calibrate_thresholds_precision_target():
+    """calibrate_thresholds: lowest cutoff still meeting the precision
+    target (maximal recall); degenerate classes fall back to default."""
+    from mla_tpu.utils.metrics import calibrate_thresholds
+
+    # class 0: scores separate positives cleanly above 0.55
+    s = np.array([[0.9], [0.8], [0.7], [0.6], [0.4], [0.3]], np.float64)
+    t = np.array([[1], [1], [1], [1], [0], [0]], np.float64)
+    thr = calibrate_thresholds(s, t, target_precision=1.0)
+    assert 0.4 < thr[0] <= 0.6  # midway cut keeps all positives, no FPs
+    picked = s[:, 0] >= thr[0]
+    assert picked.sum() == 4 and (t[picked, 0] == 1).all()
+
+    # interleaved: precision 1.0 only at the very top
+    s2 = np.array([[0.9], [0.8], [0.7], [0.6]], np.float64)
+    t2 = np.array([[1], [0], [1], [0]], np.float64)
+    thr2 = calibrate_thresholds(s2, t2, target_precision=1.0)
+    assert 0.8 < thr2[0] <= 0.9  # only the top score passes
+    # at precision >= 0.5, the deepest cut (recall-max) includes row 3
+    thr3 = calibrate_thresholds(s2, t2, target_precision=0.5)
+    assert thr3[0] < 0.7
+
+    # no positives -> default
+    thr4 = calibrate_thresholds(s2, np.zeros_like(t2), 0.9, default=0.77)
+    assert thr4[0] == np.float32(0.77)
+
+
+def test_detect_events_per_class_thresholds():
+    f, _ = _tracks()
+    thr = np.array([0.85, 0.05], np.float32)  # class 0 strict, class 1 loose
+    evs = detect_events(f, hop_s=1.0, threshold=thr)
+    by_cls = {}
+    for e in evs:
+        by_cls.setdefault(e["class_idx"], []).append(e)
+    assert len(by_cls[0]) == 1 and by_cls[0][0]["score"] == pytest.approx(0.9)
+    assert len(by_cls[1]) == 1  # 0.1 track passes the 0.05 cutoff everywhere
+    assert by_cls[1][0]["t_end"] - by_cls[1][0]["t_start"] == pytest.approx(10)
+    with pytest.raises(ValueError, match="per-class"):
+        detect_events(f, hop_s=1.0, threshold=np.zeros(3))
+
+
+def test_eval_calibrate_and_infer_thresholds_cli(tmp_path, capsys, rng):
+    """eval --calibrate writes the per-class JSON; infer --events
+    --thresholds consumes it (end-to-end on a tiny trained workspace)."""
+    import wave
+
+    from mla_tpu.__main__ import main
+
+    ws = str(tmp_path / "ws")
+    main(["train", "--config=esc50_single_attention", "--workspace", ws,
+          "--set", "train.num_steps=4", "train.batch_size=8",
+          "train.eval_every=4", "model.conv_channels=4,8",
+          "model.convs_per_stage=1", "model.hidden_units=16",
+          "data.n_train_clips=16", "data.n_eval_clips=16"])
+    capsys.readouterr()
+    out = tmp_path / "thr.json"
+    main(["eval", "--config=esc50_single_attention", "--workspace", ws,
+          "--calibrate", str(out), "--target_precision=0.6",
+          "--set", "train.batch_size=8", "model.conv_channels=4,8",
+          "model.convs_per_stage=1", "model.hidden_units=16",
+          "data.n_train_clips=16", "data.n_eval_clips=16"])
+    capsys.readouterr()
+    payload = json.loads(out.read_text())
+    assert payload["target_precision"] == 0.6
+    assert len(payload["thresholds"]) == 50
+
+    sr = 16000
+    x = (0.3 * rng.standard_normal(sr * 2)).astype(np.float32)
+    wav_path = tmp_path / "clip.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+    ev_path = tmp_path / "ev.json"
+    main(["infer", "--config=esc50_single_attention", "--workspace", ws,
+          "--wav", str(wav_path), "--events", str(ev_path),
+          "--thresholds", str(out),
+          "--set", "train.batch_size=8", "model.conv_channels=4,8",
+          "model.convs_per_stage=1", "model.hidden_units=16",
+          "data.n_train_clips=16", "data.n_eval_clips=16"])
+    evj = json.loads(ev_path.read_text())
+    assert "per-class" in evj["threshold"]
+    assert isinstance(evj["events"], list)
