@@ -662,8 +662,17 @@ def cmd_export(args):
     from mla_tpu.serve.export import export_forward
 
     variables = _load_variables(args, cfg)
-    meta = export_forward(cfg, variables, args.out, batch=args.batch,
-                          seconds=args.seconds, input_dtype=args.input_dtype)
+    if args.streaming:
+        from mla_tpu.serve.export import export_streaming
+
+        meta = export_streaming(cfg, variables, args.out,
+                                streams=args.batch,
+                                chunk_patches=args.chunk_patches,
+                                input_dtype=args.input_dtype)
+    else:
+        meta = export_forward(cfg, variables, args.out, batch=args.batch,
+                              seconds=args.seconds,
+                              input_dtype=args.input_dtype)
     print(_jdump({"out": args.out, **meta}))
 
 
@@ -899,8 +908,16 @@ def main(argv=None):
     sx.add_argument("--workspace", default=None)
     sx.add_argument("--checkpoint", default="latest")
     sx.add_argument("--out", required=True)
-    sx.add_argument("--batch", type=int, default=8)
+    sx.add_argument("--batch", type=int, default=8,
+                    help="clips per call (one-shot) / streams (--streaming)")
     sx.add_argument("--seconds", type=float, default=10.0)
+    sx.add_argument("--streaming", action="store_true",
+                    help="export the O(1)-state STREAMING tagger instead: "
+                         "a chunk-fold + finalize program pair for "
+                         "unbounded audio (loop chunks, read scores any "
+                         "time; load_exported_streaming)")
+    sx.add_argument("--chunk_patches", type=int, default=5,
+                    help="patches per chunk call (--streaming)")
     sx.add_argument("--input_dtype", default="float32",
                     choices=["float32", "int16", "uint8", "adpcm4", "adpcm2"],
                     help="bake the wire format in: int16 PCM / uint8 mu-law /"

@@ -117,6 +117,194 @@ def export_forward(
     return meta
 
 
+def export_streaming(
+    cfg,
+    variables: Dict,
+    path: str,
+    streams: int = 1,
+    chunk_patches: int = 5,
+    platforms=("cpu", "tpu"),
+    input_dtype: str = "float32",
+) -> Dict:
+    """Serialize the STREAMING tagger as a two-program artifact: a chunk
+    fold ``(states, wav [S, chunk], n_valid [S]) -> states`` and a
+    ``finalize(states) -> probs [S, C]`` — the O(1)-state long-form path
+    (T6/T11) as portable StableHLO, weights baked in. An edge deployment
+    loops the chunk program over unbounded audio and reads scores at any
+    time, with only jax installed (no model code, flax, or configs);
+    ``n_valid`` masks a padded final chunk exactly like the live server's
+    flush. States cross the API as plain nested tuples (one
+    ``(num, den, m)`` triple per level) so the loader needs no NamedTuple
+    class; ``load_exported_streaming`` provides ``init_state()``.
+    ``input_dtype`` bakes the wire decode in, as in :func:`export_forward`.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+
+    from mla_tpu.models.zoo import build_model
+    from mla_tpu.ops import attention_pool as ap
+    from mla_tpu.ops import frontend as fe
+    from mla_tpu.serve.streaming import (_samples_per_patches,
+                                         n_stream_levels, stream_activations,
+                                         stream_finalize_scores)
+
+    if input_dtype not in ("float32", "int16", "uint8", "adpcm4", "adpcm2"):
+        raise ValueError(
+            "input_dtype must be float32|int16|uint8|adpcm4|adpcm2, "
+            f"got {input_dtype!r}")
+    if cfg.model.variant not in ("multi_level_attention", "single_attention",
+                                 "multi_attention", "avg_pool", "max_pool"):
+        raise ValueError(f"unknown streaming variant {cfg.model.variant!r}")
+    model = build_model(cfg.model)
+    n_levels = n_stream_levels(cfg.model)
+    att_act, cla_act = stream_activations(cfg.model)
+    chunk_samples = _samples_per_patches(cfg.frontend, chunk_patches)
+    c = cfg.model.n_classes
+    adpcm_bits = (int(input_dtype[-1])
+                  if input_dtype.startswith("adpcm") else None)
+    wire_len = None
+    if adpcm_bits is not None:
+        from mla_tpu.data import adpcm as _ad
+
+        if chunk_samples % _ad.SERVE_BLOCK:
+            raise ValueError(
+                f"{input_dtype} export needs chunk samples divisible by "
+                f"{_ad.SERVE_BLOCK}, got {chunk_samples}")
+        wire_len = _ad.wire_length(chunk_samples, _ad.SERVE_BLOCK,
+                                   bits=adpcm_bits)
+
+    def chunk(states, wav, n_valid):
+        if adpcm_bits is not None:
+            from mla_tpu.data.adpcm import (SERVE_BLOCK, adpcm2_decode,
+                                            adpcm4_decode)
+
+            dec = adpcm4_decode if adpcm_bits == 4 else adpcm2_decode
+            wav = dec(wav, n=chunk_samples, block=SERVE_BLOCK, xp=jnp)
+        elif wav.dtype == jnp.int16:
+            wav = wav.astype(jnp.float32) / 32768.0
+        elif wav.dtype == jnp.uint8:
+            from mla_tpu.data.audio_io import mulaw_decode
+
+            wav = mulaw_decode(wav, xp=jnp)
+        patches = fe.waveform_to_patches(wav, cfg.frontend)
+        levels = model.apply(variables, patches, method="segment_logits")
+        tmask = jnp.arange(patches.shape[1])[None, :] < n_valid[:, None]
+        out = []
+        for (num, den, m), (g, cl) in zip(states, levels):
+            g = jnp.where(tmask[..., None], g, -jnp.inf)
+            st = ap.update_stream_state(
+                ap.StreamState(num, den, m), g, cl, att_act, cla_act)
+            out.append((st.num, st.den, st.m))
+        return tuple(out)
+
+    def finalize(states):
+        sts = [ap.StreamState(*t) for t in states]
+        return stream_finalize_scores(
+            model, variables, cfg.model.variant, sts
+        ).astype(jnp.float32)
+
+    st_aval = tuple(
+        tuple(jax.ShapeDtypeStruct((streams, c), jnp.float32)
+              for _ in range(3))
+        for _ in range(n_levels))
+    in_shape = (streams, wire_len) if wire_len else (streams, chunk_samples)
+    in_dtype = (jnp.uint8 if adpcm_bits is not None
+                else jnp.dtype(input_dtype))
+    exp_chunk = jexport.export(jax.jit(chunk), platforms=tuple(platforms))(
+        st_aval, jax.ShapeDtypeStruct(in_shape, in_dtype),
+        jax.ShapeDtypeStruct((streams,), jnp.int32))
+    exp_fin = jexport.export(jax.jit(finalize), platforms=tuple(platforms))(
+        st_aval)
+    meta = {
+        "format": "mla_tpu.export.stream.v1",
+        "streams": streams,
+        "chunk_patches": chunk_patches,
+        "chunk_samples": chunk_samples,
+        "hop_samples": (cfg.frontend.example_hop_frames
+                        * cfg.frontend.hop_length * chunk_patches),
+        "sample_rate": cfg.frontend.sample_rate,
+        "n_classes": c,
+        "n_levels": n_levels,
+        "variant": cfg.model.variant,
+        "platforms": list(exp_chunk.platforms),
+        "input_dtype": input_dtype,
+    }
+    if wire_len:
+        meta["wire_length"] = wire_len
+    header = json.dumps(meta).encode()
+    p1, p2 = exp_chunk.serialize(), exp_fin.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        f.write(len(p1).to_bytes(8, "little"))
+        f.write(p1)
+        f.write(p2)
+    return meta
+
+
+class StreamingArtifact:
+    """Loaded streaming export: ``init_state() -> states``,
+    ``chunk(states, wav, n_valid=None) -> states``,
+    ``finalize(states) -> probs [S, C]``. Pure jax — no model code."""
+
+    def __init__(self, meta: Dict, exp_chunk, exp_fin):
+        self.meta = meta
+        self._chunk = exp_chunk
+        self._fin = exp_fin
+
+    def init_state(self):
+        import jax.numpy as jnp
+
+        s, c = self.meta["streams"], self.meta["n_classes"]
+        return tuple(
+            (jnp.zeros((s, c), jnp.float32), jnp.zeros((s, c), jnp.float32),
+             jnp.full((s, c), -jnp.inf, jnp.float32))
+            for _ in range(self.meta["n_levels"]))
+
+    def chunk(self, states, wav, n_valid=None):
+        import jax.numpy as jnp
+
+        idt = self.meta["input_dtype"]
+        wav = jnp.asarray(wav, jnp.uint8 if idt.startswith("adpcm")
+                          else jnp.dtype(idt))
+        want = (self.meta["streams"],
+                self.meta.get("wire_length") or self.meta["chunk_samples"])
+        if tuple(wav.shape) != want:
+            raise ValueError(
+                f"chunk program is static-shaped {want}, got {tuple(wav.shape)}")
+        if n_valid is None:
+            n_valid = np.full(self.meta["streams"],
+                              self.meta["chunk_patches"], np.int32)
+        return self._chunk.call(states, wav,
+                                jnp.asarray(n_valid, jnp.int32))
+
+    def finalize(self, states) -> np.ndarray:
+        return np.asarray(self._fin.call(states))
+
+
+def load_exported_streaming(path: str) -> StreamingArtifact:
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        magic = f.read(len(MAGIC))
+        if magic != MAGIC:
+            raise ValueError(f"{path} is not an mla_tpu export (bad magic {magic!r})")
+        hlen = int.from_bytes(f.read(8), "little")
+        meta = json.loads(f.read(hlen).decode())
+        if meta.get("format") != "mla_tpu.export.stream.v1":
+            raise ValueError(
+                f"{path} is a {meta.get('format')} artifact; use "
+                "load_exported for one-shot exports")
+        l1 = int.from_bytes(f.read(8), "little")
+        p1 = f.read(l1)
+        p2 = f.read()
+    return StreamingArtifact(meta, jexport.deserialize(p1),
+                             jexport.deserialize(p2))
+
+
 def load_exported(path: str) -> Callable[[np.ndarray], np.ndarray]:
     """Load an exported artifact; returns ``fn(wav [batch, n_samples]) ->
     probs [batch, n_classes]`` with ``fn.meta`` holding the header dict.
@@ -129,6 +317,9 @@ def load_exported(path: str) -> Callable[[np.ndarray], np.ndarray]:
             raise ValueError(f"{path} is not an mla_tpu export (bad magic {magic!r})")
         hlen = int.from_bytes(f.read(8), "little")
         meta = json.loads(f.read(hlen).decode())
+        if meta.get("format") == "mla_tpu.export.stream.v1":
+            raise ValueError(
+                f"{path} is a streaming artifact; use load_exported_streaming")
         payload = f.read()
     exp = jexport.deserialize(payload)
 

@@ -117,3 +117,90 @@ def test_export_wire_format_inputs(setup, tmp_path):
     with pytest.raises(ValueError, match="input_dtype"):
         export_forward(cfg, variables, str(tmp_path / "x.mlax"),
                        platforms=("cpu",), input_dtype="int8")
+
+
+def test_export_streaming_matches_live_tagger(setup, tmp_path):
+    """The exported chunk-fold + finalize pair reproduces the in-process
+    StreamingTagger (same chunking) through pure jax.export.call —
+    including the final padded chunk masked via n_valid."""
+    from mla_tpu.serve.export import export_streaming, load_exported_streaming
+    from mla_tpu.serve.streaming import StreamingTagger, _samples_per_patches
+
+    cfg, model, variables, _ = setup
+    path = str(tmp_path / "stream.mlax")
+    meta = export_streaming(cfg, variables, path, streams=1,
+                            chunk_patches=2, platforms=("cpu",))
+    art = load_exported_streaming(path)
+    assert art.meta["chunk_samples"] == meta["chunk_samples"]
+
+    rng = np.random.default_rng(3)
+    n = _samples_per_patches(cfg.frontend, 5)  # 2 full chunks + 1 patch
+    wav = (rng.standard_normal(n) * 0.3).astype(np.float32)
+
+    ref = StreamingTagger(cfg, variables, chunk_patches=2)
+    ref.feed(wav)
+    ref.flush()
+
+    states = art.init_state()
+    cs, hop = meta["chunk_samples"], meta["hop_samples"]
+    off = 0
+    while off + cs <= len(wav):
+        states = art.chunk(states, wav[off: off + cs][None])
+        off += hop
+    # final partial chunk: pad, mask to its whole-patch count (here 1)
+    tail = np.zeros(cs, np.float32)
+    rem = wav[off:]
+    tail[: len(rem)] = rem
+    states = art.chunk(states, tail[None], n_valid=np.array([1], np.int32))
+    got = art.finalize(states)[0]
+    np.testing.assert_allclose(got, ref.scores(), rtol=1e-4, atol=1e-5)
+
+
+def test_export_streaming_adpcm4_wire(setup, tmp_path):
+    """adpcm4 wire-input streaming export: wire blocks in, decode baked
+    into the chunk program; matches a live adpcm4 server on the same
+    bytes."""
+    from mla_tpu.data import adpcm
+    from mla_tpu.data.audio_io import pcm16_quantize
+    from mla_tpu.serve.export import export_streaming, load_exported_streaming
+    from mla_tpu.serve.server import BatchedStreamingServer
+
+    cfg, model, variables, _ = setup
+    path = str(tmp_path / "stream_a4.mlax")
+    meta = export_streaming(cfg, variables, path, streams=1,
+                            chunk_patches=5, platforms=("cpu",),
+                            input_dtype="adpcm4")
+    art = load_exported_streaming(path)
+    rng = np.random.default_rng(9)
+    wav = (rng.standard_normal(meta["chunk_samples"]) * 0.3).astype(np.float32)
+    wire = adpcm.adpcm4_encode(pcm16_quantize(wav), block=adpcm.SERVE_BLOCK)
+    assert len(wire) == meta["wire_length"]
+
+    states = art.chunk(art.init_state(), wire[None])
+    got = art.finalize(states)[0]
+
+    srv = BatchedStreamingServer(cfg, variables, max_streams=1,
+                                 chunk_patches=5, transfer_dtype="adpcm4")
+    sid = srv.open()
+    srv.feed(sid, wire, wire=True)
+    srv.tick()
+    np.testing.assert_allclose(got, srv.scores(sid), rtol=1e-5, atol=1e-6)
+
+
+def test_export_streaming_cli_and_loader_dispatch(setup, tmp_path, monkeypatch):
+    from mla_tpu.__main__ import main
+    from mla_tpu.serve.export import load_exported, load_exported_streaming
+
+    cfg, model, variables, _ = setup
+    import mla_tpu.__main__ as cli
+
+    monkeypatch.setattr(cli, "_load_variables",
+                        lambda args, cfg2, **kw: variables)
+    monkeypatch.setattr(cli, "_load_cfg", lambda args: cfg)
+    out = str(tmp_path / "s.mlax")
+    main(["export", "--out", out, "--streaming", "--batch=1",
+          "--chunk_patches=2"])
+    art = load_exported_streaming(out)
+    assert art.meta["variant"] == "multi_level_attention"
+    with pytest.raises(ValueError, match="streaming artifact"):
+        load_exported(out)
