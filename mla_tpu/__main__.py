@@ -210,8 +210,10 @@ def cmd_eval(args):
             thr = calibrate_thresholds(scores, eval_ds.y,
                                        args.target_precision)
             with open(args.calibrate, "w") as fh:
+                # full precision: rounding could move a threshold across
+                # the exact score boundary the calibrator placed it between
                 json.dump({"target_precision": args.target_precision,
-                           "thresholds": {n: round(float(t), 6)
+                           "thresholds": {n: float(t)
                                           for n, t in zip(names, thr)}},
                           fh, indent=1)
             print(f"# thresholds: {len(thr)} classes at precision>="

@@ -29,6 +29,66 @@ import numpy as np
 
 MAGIC = b"MLAX1\n"
 
+_INPUT_DTYPES = ("float32", "int16", "uint8", "adpcm4", "adpcm2")
+
+
+def _wire_geometry(input_dtype: str, n_samples: int):
+    """Validate input_dtype and return (adpcm_bits, wire_len) — the wire
+    geometry both exporters bake into their programs and metadata."""
+    if input_dtype not in _INPUT_DTYPES:
+        raise ValueError(
+            f"input_dtype must be {'|'.join(_INPUT_DTYPES)}, "
+            f"got {input_dtype!r}")
+    adpcm_bits = (int(input_dtype[-1])
+                  if input_dtype.startswith("adpcm") else None)
+    wire_len = None
+    if adpcm_bits is not None:
+        from mla_tpu.data import adpcm as _ad
+
+        if n_samples % _ad.SERVE_BLOCK:
+            raise ValueError(
+                f"{input_dtype} export needs sample counts divisible by "
+                f"{_ad.SERVE_BLOCK}, got {n_samples}")
+        wire_len = _ad.wire_length(n_samples, _ad.SERVE_BLOCK,
+                                   bits=adpcm_bits)
+    return adpcm_bits, wire_len
+
+
+def _wire_decode(wav, adpcm_bits, n_samples):
+    """Device-side wire -> float32 samples prologue (the same decode the
+    live server runs in-tick), shared by both exporters so a wire-format
+    change cannot fork them."""
+    import jax.numpy as jnp
+
+    if adpcm_bits is not None:
+        from mla_tpu.data.adpcm import SERVE_BLOCK, adpcm2_decode, adpcm4_decode
+
+        dec = adpcm4_decode if adpcm_bits == 4 else adpcm2_decode
+        return dec(wav, n=n_samples, block=SERVE_BLOCK, xp=jnp)
+    if wav.dtype == jnp.int16:
+        return wav.astype(jnp.float32) / 32768.0
+    if wav.dtype == jnp.uint8:
+        from mla_tpu.data.audio_io import mulaw_decode
+
+        return mulaw_decode(wav, xp=jnp)
+    return wav
+
+
+def _write_artifact(path: str, meta: Dict, *payloads: bytes):
+    """MAGIC + length-prefixed JSON header + payloads (all but the last
+    length-prefixed, so readers of both formats stay simple)."""
+    header = json.dumps(meta).encode()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(len(header).to_bytes(8, "little"))
+        f.write(header)
+        for p in payloads[:-1]:
+            f.write(len(p).to_bytes(8, "little"))
+            f.write(p)
+        f.write(payloads[-1])
+
+
 
 def export_forward(
     cfg,
@@ -53,38 +113,12 @@ def export_forward(
     from mla_tpu.models.zoo import build_model
     from mla_tpu.ops import frontend as fe
 
-    if input_dtype not in ("float32", "int16", "uint8", "adpcm4", "adpcm2"):
-        raise ValueError(
-            "input_dtype must be float32|int16|uint8|adpcm4|adpcm2, "
-            f"got {input_dtype!r}")
     model = build_model(cfg.model)
     n_samples = int(round(seconds * cfg.frontend.sample_rate))
-    adpcm_bits = (int(input_dtype[-1])
-                  if input_dtype.startswith("adpcm") else None)
-    wire_len = None
-    if adpcm_bits is not None:
-        from mla_tpu.data import adpcm as _ad
-
-        if n_samples % _ad.SERVE_BLOCK:
-            raise ValueError(
-                f"{input_dtype} export needs n_samples divisible by "
-                f"{_ad.SERVE_BLOCK}, got {n_samples}")
-        wire_len = _ad.wire_length(n_samples, _ad.SERVE_BLOCK,
-                                   bits=adpcm_bits)
+    adpcm_bits, wire_len = _wire_geometry(input_dtype, n_samples)
 
     def forward(wav):
-        if adpcm_bits is not None:
-            from mla_tpu.data.adpcm import (SERVE_BLOCK, adpcm2_decode,
-                                            adpcm4_decode)
-
-            dec = adpcm4_decode if adpcm_bits == 4 else adpcm2_decode
-            wav = dec(wav, n=n_samples, block=SERVE_BLOCK, xp=jnp)
-        elif wav.dtype == jnp.int16:
-            wav = wav.astype(jnp.float32) / 32768.0
-        elif wav.dtype == jnp.uint8:
-            from mla_tpu.data.audio_io import mulaw_decode
-
-            wav = mulaw_decode(wav, xp=jnp)
+        wav = _wire_decode(wav, adpcm_bits, n_samples)
         patches = fe.waveform_to_patches(wav, cfg.frontend)
         return model.apply(variables, patches, train=False).astype(jnp.float32)
 
@@ -107,13 +141,7 @@ def export_forward(
     }
     if wire_len:
         meta["wire_length"] = wire_len
-    header = json.dumps(meta).encode()
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(len(header).to_bytes(8, "little"))
-        f.write(header)
-        f.write(payload)
+    _write_artifact(path, meta, payload)
     return meta
 
 
@@ -145,48 +173,23 @@ def export_streaming(
     from mla_tpu.models.zoo import build_model
     from mla_tpu.ops import attention_pool as ap
     from mla_tpu.ops import frontend as fe
-    from mla_tpu.serve.streaming import (_samples_per_patches,
+    from mla_tpu.serve.streaming import (STREAMING_VARIANTS,
+                                         _samples_per_patches,
                                          n_stream_levels, stream_activations,
                                          stream_finalize_scores)
 
-    if input_dtype not in ("float32", "int16", "uint8", "adpcm4", "adpcm2"):
-        raise ValueError(
-            "input_dtype must be float32|int16|uint8|adpcm4|adpcm2, "
-            f"got {input_dtype!r}")
-    if cfg.model.variant not in ("multi_level_attention", "single_attention",
-                                 "multi_attention", "avg_pool", "max_pool"):
-        raise ValueError(f"unknown streaming variant {cfg.model.variant!r}")
+    if cfg.model.variant not in STREAMING_VARIANTS:
+        raise ValueError(f"unknown streaming variant {cfg.model.variant!r}; "
+                         f"pick from {STREAMING_VARIANTS}")
     model = build_model(cfg.model)
     n_levels = n_stream_levels(cfg.model)
     att_act, cla_act = stream_activations(cfg.model)
     chunk_samples = _samples_per_patches(cfg.frontend, chunk_patches)
     c = cfg.model.n_classes
-    adpcm_bits = (int(input_dtype[-1])
-                  if input_dtype.startswith("adpcm") else None)
-    wire_len = None
-    if adpcm_bits is not None:
-        from mla_tpu.data import adpcm as _ad
-
-        if chunk_samples % _ad.SERVE_BLOCK:
-            raise ValueError(
-                f"{input_dtype} export needs chunk samples divisible by "
-                f"{_ad.SERVE_BLOCK}, got {chunk_samples}")
-        wire_len = _ad.wire_length(chunk_samples, _ad.SERVE_BLOCK,
-                                   bits=adpcm_bits)
+    adpcm_bits, wire_len = _wire_geometry(input_dtype, chunk_samples)
 
     def chunk(states, wav, n_valid):
-        if adpcm_bits is not None:
-            from mla_tpu.data.adpcm import (SERVE_BLOCK, adpcm2_decode,
-                                            adpcm4_decode)
-
-            dec = adpcm4_decode if adpcm_bits == 4 else adpcm2_decode
-            wav = dec(wav, n=chunk_samples, block=SERVE_BLOCK, xp=jnp)
-        elif wav.dtype == jnp.int16:
-            wav = wav.astype(jnp.float32) / 32768.0
-        elif wav.dtype == jnp.uint8:
-            from mla_tpu.data.audio_io import mulaw_decode
-
-            wav = mulaw_decode(wav, xp=jnp)
+        wav = _wire_decode(wav, adpcm_bits, chunk_samples)
         patches = fe.waveform_to_patches(wav, cfg.frontend)
         levels = model.apply(variables, patches, method="segment_logits")
         tmask = jnp.arange(patches.shape[1])[None, :] < n_valid[:, None]
@@ -232,23 +235,22 @@ def export_streaming(
     }
     if wire_len:
         meta["wire_length"] = wire_len
-    header = json.dumps(meta).encode()
-    p1, p2 = exp_chunk.serialize(), exp_fin.serialize()
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(MAGIC)
-        f.write(len(header).to_bytes(8, "little"))
-        f.write(header)
-        f.write(len(p1).to_bytes(8, "little"))
-        f.write(p1)
-        f.write(p2)
+    _write_artifact(path, meta, exp_chunk.serialize(), exp_fin.serialize())
     return meta
 
 
 class StreamingArtifact:
     """Loaded streaming export: ``init_state() -> states``,
     ``chunk(states, wav, n_valid=None) -> states``,
-    ``finalize(states) -> probs [S, C]``. Pure jax — no model code."""
+    ``finalize(states) -> probs [S, C]``. Pure jax — no model code.
+
+    CHUNK OVERLAP CONTRACT: each chunk call consumes
+    ``meta["chunk_samples"]`` samples but the stream only ADVANCES by
+    ``meta["hop_samples"]`` (< chunk_samples by the STFT window tail) —
+    consecutive chunks must overlap: slice ``wav[off : off+chunk_samples]``
+    and step ``off += hop_samples``, exactly like the live server's
+    buffers. Advancing by chunk_samples silently drops frame context at
+    every boundary and diverges from the in-process tagger."""
 
     def __init__(self, meta: Dict, exp_chunk, exp_fin):
         self.meta = meta

@@ -122,6 +122,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.sf_wait_gather.restype = ctypes.c_int
     lib.sf_wait_gather.argtypes = [ctypes.c_void_p, u8p, u8p, ctypes.c_int]
     lib.sf_tick_done.argtypes = [ctypes.c_void_p]
+    lib.sf_counters.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong),
+        ctypes.POINTER(ctypes.c_longlong)]
     lib.sf_wait_drained.restype = ctypes.c_int
     lib.sf_wait_drained.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.sf_next_request.restype = ctypes.c_int
@@ -146,11 +149,28 @@ def available() -> bool:
 
 
 class _TickStats:
-    """Mirrors TickLoop's bench-facing counters (streams_per_tick)."""
+    """Bench-facing view of the C++ front's tick gauges (the ONE counter,
+    incremented at gather time in sf_wait_gather under the server mutex —
+    healthz and the bench read the same numbers)."""
 
-    def __init__(self):
-        self.ticks = 0
-        self.ticked_streams = 0
+    def __init__(self, server: "NativeTagServer"):
+        self._server = server
+
+    def _read(self):
+        t = ctypes.c_longlong()
+        s = ctypes.c_longlong()
+        h = self._server._h
+        if h:
+            self._server._lib.sf_counters(h, ctypes.byref(t), ctypes.byref(s))
+        return t.value, s.value
+
+    @property
+    def ticks(self) -> int:
+        return self._read()[0]
+
+    @property
+    def ticked_streams(self) -> int:
+        return self._read()[1]
 
 
 class _HTTPError(Exception):
@@ -217,7 +237,7 @@ class NativeTagServer:
         # (srv._bufs on the flush path, srv._rem adpcm remainders, _fed)
         self.dev = threading.Lock()
         self.host_lock = threading.Lock()
-        self.ticker = _TickStats()
+        self.ticker = _TickStats(self)
         self.state = self  # bench compat: srv.state.ticker.<counters>
         self._closing = False
         self._done = threading.Event()
@@ -283,8 +303,6 @@ class NativeTagServer:
                     srv.variables, srv.states, srv.tl, *dev_args)
             with self.host_lock:
                 srv._fed |= active
-            self.ticker.ticks += 1
-            self.ticker.ticked_streams += int(n)
             lib.sf_tick_done(self._h)
 
     # --- slow-path workers -----------------------------------------------

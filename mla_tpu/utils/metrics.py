@@ -127,17 +127,28 @@ def calibrate_thresholds(scores: np.ndarray, targets: np.ndarray,
     tp = np.cumsum(sorted_t, axis=0)
     k = np.arange(1, n + 1)[:, None]
     precision = tp / k
+    # only tie-group ENDS are realizable operating points: a >= threshold
+    # admits a tied group whole, so precision evaluated mid-group is a cut
+    # no threshold can realize (same tie handling as average_precision)
+    is_group_end = np.ones_like(sorted_s, dtype=bool)
+    is_group_end[:-1] = sorted_s[:-1] != sorted_s[1:]
     out = np.full(c, default, np.float32)
     for j in range(c):
         if sorted_t[:, j].sum() == 0:
             continue
-        ok = np.nonzero(precision[:, j] >= target_precision)[0]
+        ok = np.nonzero((precision[:, j] >= target_precision)
+                        & is_group_end[:, j])[0]
         if len(ok) == 0:
             continue
-        i = ok[-1]  # deepest cut still meeting the precision target
+        i = ok[-1]  # deepest realizable cut meeting the precision target
         lo = sorted_s[i, j]
         below = sorted_s[i + 1, j] if i + 1 < n else lo - 1e-6
-        out[j] = np.float32((lo + below) / 2.0)
+        t = np.float32((lo + below) / 2.0)
+        if t > lo or t <= below:
+            # the f32 midpoint collapsed onto a boundary (adjacent f32
+            # scores): use lo itself — ``>= lo`` IS the chosen cut
+            t = np.float32(lo)
+        out[j] = t
     return out
 
 

@@ -773,6 +773,15 @@ int sf_wait_gather(void* h, uint8_t* wav, uint8_t* active, int timeout_ms) {
   return n_active;
 }
 
+// Tick gauges for healthz / the bench (one source of truth: incremented
+// at gather time in sf_wait_gather, under the server mutex).
+void sf_counters(void* h, long long* ticks, long long* ticked_streams) {
+  auto* sv = static_cast<Server*>(h);
+  std::lock_guard<std::mutex> lk(sv->mu);
+  *ticks = sv->ticks;
+  *ticked_streams = sv->ticked_streams;
+}
+
 void sf_tick_done(void* h) {
   auto* sv = static_cast<Server*>(h);
   std::lock_guard<std::mutex> lk(sv->mu);

@@ -68,8 +68,7 @@ class ProbedServer(native_front.NativeTagServer):
             t4 = time.perf_counter()
             with self.host_lock:
                 srv._fed |= active
-            self.ticker.ticks += 1
-            self.ticker.ticked_streams += int(n)
+            # tick gauges are counted in C++ at gather time (sf_counters)
             lib.sf_tick_done(self._h)
             t5 = time.perf_counter()
             ph["wait"] += t1 - t0

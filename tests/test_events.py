@@ -218,3 +218,34 @@ def test_eval_calibrate_and_infer_thresholds_cli(tmp_path, capsys, rng):
     evj = json.loads(ev_path.read_text())
     assert "per-class" in evj["threshold"]
     assert isinstance(evj["events"], list)
+
+
+def test_calibrate_thresholds_tied_scores_respect_precision():
+    """Ties at the cut boundary: >= admits a tied group WHOLE, so only
+    group-end cuts are realizable operating points. Regression: the
+    midway threshold used to collapse onto the tied value and admit a
+    false positive, violating the precision target it promised."""
+    from mla_tpu.utils.metrics import calibrate_thresholds
+
+    # a tied (1.0, 1.0) pair with one positive: NO threshold can realize
+    # precision 1.0 (>= admits both) -> must fall back to default, not
+    # return 1.0 (which would claim the target while achieving 0.5)
+    s = np.array([[1.0], [1.0], [0.3]], np.float64)
+    t = np.array([[1.0], [0.0], [0.0]], np.float64)
+    thr = calibrate_thresholds(s, t, target_precision=1.0, default=0.123)
+    assert thr[0] == np.float32(0.123)
+    # at a reachable target (0.5) the tied group-end IS the cut
+    thr_h = calibrate_thresholds(s, t, target_precision=0.5)
+    picked = s[:, 0] >= thr_h[0]
+    assert picked.sum() == 2
+    assert t[picked, 0].sum() / picked.sum() >= 0.5
+
+    # adjacent-f32 scores: the midpoint cannot split them; the threshold
+    # must land on lo (admitting the group end), never below `below`
+    lo = np.float32(0.7)
+    below = np.nextafter(lo, np.float32(0)).astype(np.float64)
+    s2 = np.array([[float(lo)], [float(below)]], np.float64)
+    t2 = np.array([[1.0], [0.0]], np.float64)
+    thr2 = calibrate_thresholds(s2, t2, target_precision=1.0)
+    assert thr2[0] == lo
+    assert (s2[:, 0] >= thr2[0]).sum() == 1
