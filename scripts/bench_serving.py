@@ -37,13 +37,14 @@ REPEATS = 5
 # client-SDK wire name for each server transfer_dtype
 _WIRE = {"float32": "float32", "int16": "int16", "uint8": "mulaw",
          "adpcm4": "adpcm4", "adpcm2": "adpcm2"}
+TIMELINE_CAP = 0  # --timeline-cap: measure the localization ring's tick cost
 
 
 def bench_dtype(cfg, variables, transfer_dtype: str,
                 n_streams: int = N_STREAMS) -> dict:
     srv = BatchedStreamingServer(
         cfg, variables, max_streams=n_streams, chunk_patches=CHUNK_PATCHES,
-        transfer_dtype=transfer_dtype,
+        transfer_dtype=transfer_dtype, timeline_cap=TIMELINE_CAP,
     )
     sids = [srv.open() for _ in range(n_streams)]
     rng = np.random.default_rng(0)
@@ -115,7 +116,8 @@ def bench_http(cfg, variables, transfer_dtype: str,
 
     srv = create_server(cfg, variables, port=0, max_streams=n_streams,
                         chunk_patches=CHUNK_PATCHES,
-                        transfer_dtype=transfer_dtype)
+                        transfer_dtype=transfer_dtype,
+                        timeline_cap=TIMELINE_CAP)
     host, port = srv.server_address[:2]
     serve_t = threading.Thread(target=srv.serve_forever, daemon=True)
     serve_t.start()
@@ -237,7 +239,8 @@ def bench_http_cpp(cfg, variables, transfer_dtype: str,
 
     srv = create_server(cfg, variables, port=0, max_streams=n_streams,
                         chunk_patches=CHUNK_PATCHES,
-                        transfer_dtype=transfer_dtype)
+                        transfer_dtype=transfer_dtype,
+                        timeline_cap=TIMELINE_CAP)
     host, port = srv.server_address[:2]
     serve_t = threading.Thread(target=srv.serve_forever, daemon=True)
     serve_t.start()
@@ -305,8 +308,14 @@ def main():
                     help="patches folded per device tick (the serving "
                          "throughput/latency knob: bigger chunks amortize "
                          "the per-dispatch tunnel latency over more audio)")
+    ap.add_argument("--timeline-cap", type=int, default=0,
+                    help="run the servers with the on-device localization "
+                         "ring enabled (expected ~free: one masked "
+                         "gather+scatter fused into the tick program; "
+                         "compare against a 0 run same-session)")
     args = ap.parse_args()
     globals()["CHUNK_PATCHES"] = args.chunk_patches
+    globals()["TIMELINE_CAP"] = args.timeline_cap
     dtypes = args.wire.split(",")
     n_streams = args.streams
 
