@@ -670,7 +670,8 @@ def cmd_export(args):
         meta = export_streaming(cfg, variables, args.out,
                                 streams=args.batch,
                                 chunk_patches=args.chunk_patches,
-                                input_dtype=args.input_dtype)
+                                input_dtype=args.input_dtype,
+                                timeline_cap=args.timeline_cap)
     else:
         meta = export_forward(cfg, variables, args.out, batch=args.batch,
                               seconds=args.seconds,
@@ -920,6 +921,10 @@ def main(argv=None):
                          "time; load_exported_streaming)")
     sx.add_argument("--chunk_patches", type=int, default=5,
                     help="patches per chunk call (--streaming)")
+    sx.add_argument("--timeline_cap", type=int, default=0,
+                    help="with --streaming: bake the localization ring "
+                         "into the chunk program (StreamingArtifact."
+                         "timeline reads the window at the edge; 0 = off)")
     sx.add_argument("--input_dtype", default="float32",
                     choices=["float32", "int16", "uint8", "adpcm4", "adpcm2"],
                     help="bake the wire format in: int16 PCM / uint8 mu-law /"

@@ -153,6 +153,7 @@ def export_streaming(
     chunk_patches: int = 5,
     platforms=("cpu", "tpu"),
     input_dtype: str = "float32",
+    timeline_cap: int = 0,
 ) -> Dict:
     """Serialize the STREAMING tagger as a two-program artifact: a chunk
     fold ``(states, wav [S, chunk], n_valid [S]) -> states`` and a
@@ -165,6 +166,10 @@ def export_streaming(
     ``(num, den, m)`` triple per level) so the loader needs no NamedTuple
     class; ``load_exported_streaming`` provides ``init_state()``.
     ``input_dtype`` bakes the wire decode in, as in :func:`export_forward`.
+    ``timeline_cap`` > 0 additionally folds the localization ring
+    (ops.attention_pool.TimelineState) inside the exported chunk program,
+    exactly like the live server — ``StreamingArtifact.timeline`` reads
+    the window at the edge.
     """
     import jax
     import jax.numpy as jnp
@@ -187,8 +192,13 @@ def export_streaming(
     chunk_samples = _samples_per_patches(cfg.frontend, chunk_patches)
     c = cfg.model.n_classes
     adpcm_bits, wire_len = _wire_geometry(input_dtype, chunk_samples)
+    if timeline_cap and timeline_cap < chunk_patches:
+        raise ValueError(
+            f"timeline_cap {timeline_cap} must be >= chunk_patches "
+            f"{chunk_patches}")
 
-    def chunk(states, wav, n_valid):
+    def chunk(state, wav, n_valid):
+        states, tl = state
         wav = _wire_decode(wav, adpcm_bits, chunk_samples)
         patches = fe.waveform_to_patches(wav, cfg.frontend)
         levels = model.apply(variables, patches, method="segment_logits")
@@ -199,7 +209,15 @@ def export_streaming(
             st = ap.update_stream_state(
                 ap.StreamState(num, den, m), g, cl, att_act, cla_act)
             out.append((st.num, st.den, st.m))
-        return tuple(out)
+        if tl is not None:
+            g_stack = jnp.stack([g for g, _ in levels], axis=2)
+            f_stack = jnp.stack(
+                [ap.cla_activation(cl, cla_act) for _, cl in levels], axis=2)
+            new_tl = ap.update_timeline_state(
+                ap.TimelineState(*tl), g_stack, f_stack,
+                jnp.ones(wav.shape[0], bool), n_valid)
+            tl = tuple(new_tl)
+        return tuple(out), tl
 
     def finalize(states):
         sts = [ap.StreamState(*t) for t in states]
@@ -211,11 +229,17 @@ def export_streaming(
         tuple(jax.ShapeDtypeStruct((streams, c), jnp.float32)
               for _ in range(3))
         for _ in range(n_levels))
+    tl_aval = None
+    if timeline_cap:
+        ring = jax.ShapeDtypeStruct((streams, timeline_cap, n_levels, c),
+                                    jnp.float32)
+        vec = jax.ShapeDtypeStruct((streams,), jnp.int32)
+        tl_aval = (ring, ring, vec, vec)
     in_shape = (streams, wire_len) if wire_len else (streams, chunk_samples)
     in_dtype = (jnp.uint8 if adpcm_bits is not None
                 else jnp.dtype(input_dtype))
     exp_chunk = jexport.export(jax.jit(chunk), platforms=tuple(platforms))(
-        st_aval, jax.ShapeDtypeStruct(in_shape, in_dtype),
+        (st_aval, tl_aval), jax.ShapeDtypeStruct(in_shape, in_dtype),
         jax.ShapeDtypeStruct((streams,), jnp.int32))
     exp_fin = jexport.export(jax.jit(finalize), platforms=tuple(platforms))(
         st_aval)
@@ -232,6 +256,8 @@ def export_streaming(
         "variant": cfg.model.variant,
         "platforms": list(exp_chunk.platforms),
         "input_dtype": input_dtype,
+        "timeline_cap": timeline_cap,
+        "att_activation": att_act,
     }
     if wire_len:
         meta["wire_length"] = wire_len
@@ -261,12 +287,20 @@ class StreamingArtifact:
         import jax.numpy as jnp
 
         s, c = self.meta["streams"], self.meta["n_classes"]
-        return tuple(
+        n_levels = self.meta["n_levels"]
+        levels = tuple(
             (jnp.zeros((s, c), jnp.float32), jnp.zeros((s, c), jnp.float32),
              jnp.full((s, c), -jnp.inf, jnp.float32))
-            for _ in range(self.meta["n_levels"]))
+            for _ in range(n_levels))
+        tl = None
+        cap = self.meta.get("timeline_cap", 0)
+        if cap:
+            ring = jnp.zeros((s, cap, n_levels, c), jnp.float32)
+            vec = jnp.zeros(s, jnp.int32)
+            tl = (ring, ring, vec, vec)
+        return (levels, tl)
 
-    def chunk(self, states, wav, n_valid=None):
+    def chunk(self, state, wav, n_valid=None):
         import jax.numpy as jnp
 
         idt = self.meta["input_dtype"]
@@ -280,11 +314,27 @@ class StreamingArtifact:
         if n_valid is None:
             n_valid = np.full(self.meta["streams"],
                               self.meta["chunk_patches"], np.int32)
-        return self._chunk.call(states, wav,
+        return self._chunk.call(state, wav,
                                 jnp.asarray(n_valid, jnp.int32))
 
-    def finalize(self, states) -> np.ndarray:
-        return np.asarray(self._fin.call(states))
+    def finalize(self, state) -> np.ndarray:
+        levels, _ = state
+        return np.asarray(self._fin.call(levels))
+
+    def timeline(self, state, sid: int = 0):
+        """Localization window for stream ``sid`` — the live server's
+        timeline readout at the edge (export with timeline_cap > 0):
+        ``(start_patch, [(weights [T, C], probs [T, C]) per level])``."""
+        from mla_tpu.ops.attention_pool import StreamState, TimelineState
+        from mla_tpu.serve.streaming import read_timeline
+
+        levels, tl = state
+        if tl is None:
+            raise RuntimeError(
+                "timeline disabled; export with timeline_cap > 0")
+        return read_timeline([StreamState(*t) for t in levels],
+                             TimelineState(*tl), sid,
+                             self.meta["att_activation"])
 
 
 def load_exported_streaming(path: str) -> StreamingArtifact:

@@ -204,3 +204,40 @@ def test_export_streaming_cli_and_loader_dispatch(setup, tmp_path, monkeypatch):
     assert art.meta["variant"] == "multi_level_attention"
     with pytest.raises(ValueError, match="streaming artifact"):
         load_exported(out)
+
+
+def test_export_streaming_timeline_at_edge(setup, tmp_path):
+    """timeline_cap exports: the ring folds inside the portable chunk
+    program and the loader's timeline() matches the live tagger's."""
+    from mla_tpu.serve.export import export_streaming, load_exported_streaming
+    from mla_tpu.serve.streaming import StreamingTagger, _samples_per_patches
+
+    cfg, model, variables, _ = setup
+    path = str(tmp_path / "stream_tl.mlax")
+    meta = export_streaming(cfg, variables, path, streams=1,
+                            chunk_patches=2, platforms=("cpu",),
+                            timeline_cap=8)
+    assert meta["timeline_cap"] == 8
+    art = load_exported_streaming(path)
+
+    rng = np.random.default_rng(11)
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 4)) * 0.3).astype(np.float32)
+    ref = StreamingTagger(cfg, variables, chunk_patches=2, timeline_cap=8)
+    ref.feed(wav)
+    ref.flush()
+    want_start, want_levels = ref.timeline()
+
+    state = art.init_state()
+    cs, hop = meta["chunk_samples"], meta["hop_samples"]
+    off = 0
+    while off + cs <= len(wav):
+        state = art.chunk(state, wav[off: off + cs][None])
+        off += hop
+    start, levels = art.timeline(state)
+    assert start == want_start and len(levels) == len(want_levels)
+    for (w, f), (ww, wf) in zip(levels, want_levels):
+        np.testing.assert_allclose(w, ww, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(f, wf, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(art.finalize(state)[0], ref.scores(),
+                               rtol=1e-4, atol=1e-5)
