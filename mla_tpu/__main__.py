@@ -682,13 +682,15 @@ def cmd_export(args):
 def cmd_tag(args):
     """Client side of ``serve``: tag a wav through a RUNNING service,
     uploading in the chosen wire encoding (serve/client.py). With
-    ``--timeline CSV`` the clip goes through the stream API instead of
-    /v1/tag so the per-patch localization window can be fetched after the
-    flush (requires the service to run with --timeline_cap > 0)."""
+    ``--timeline CSV`` / ``--events JSON`` the clip goes through the
+    stream API instead of /v1/tag so the per-patch localization window
+    can be fetched after the flush (requires the service to run with
+    --timeline_cap > 0); events are detected CLIENT-side from that
+    window (serve/events.py)."""
     from mla_tpu.serve.client import TagClient
 
     c = TagClient(args.url)
-    if getattr(args, "timeline", None):
+    if getattr(args, "timeline", None) or getattr(args, "events", None):
         from mla_tpu.data import audio_io
 
         sr = int(c.health().get("sample_rate", 16000))
@@ -699,9 +701,23 @@ def cmd_tag(args):
             s.flush()
             top = s.scores(top_k=args.top_k)
             tl = s.timeline(top_k=args.top_k)
-        _write_timeline_csv(args.timeline, tl["start_patch"], tl["hop_s"],
-                            [n for n, _ in tl["classes"]],
-                            tl["probs"], tl["weights"])
+        if args.timeline:
+            _write_timeline_csv(args.timeline, tl["start_patch"],
+                                tl["hop_s"],
+                                [n for n, _ in tl["classes"]],
+                                tl["probs"], tl["weights"])
+        if args.events:
+            from mla_tpu.serve.events import events_from_timeline_payload
+
+            events = events_from_timeline_payload(
+                tl, threshold=args.event_threshold,
+                merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur)
+            with open(args.events, "w") as fh:
+                json.dump({"hop_s": tl["hop_s"],
+                           "threshold": args.event_threshold,
+                           "events": events}, fh, indent=1)
+            print(f"# events: {len(events)} -> {args.events}",
+                  file=sys.stderr)
     elif args.wire == "wav":
         top = c.tag_file(args.wav, top_k=args.top_k)
     else:
@@ -892,6 +908,12 @@ def main(argv=None):
                     help="also fetch the per-patch localization window "
                          "(server must run with --timeline_cap > 0) and "
                          "write it as CSV, like infer --timeline")
+    sg.add_argument("--events", default=None, metavar="JSON",
+                    help="also detect discrete events from the timeline "
+                         "window (client-side; like infer --events)")
+    sg.add_argument("--event_threshold", type=float, default=0.5)
+    sg.add_argument("--event_gap", type=float, default=0.0)
+    sg.add_argument("--event_min_dur", type=float, default=0.0)
     sg.set_defaults(fn=cmd_tag)
 
     sc = sub.add_parser("cv", help="k-fold cross-validation (ESC-50/US8K protocol)")

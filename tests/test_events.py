@@ -249,3 +249,37 @@ def test_calibrate_thresholds_tied_scores_respect_precision():
     thr2 = calibrate_thresholds(s2, t2, target_precision=1.0)
     assert thr2[0] == lo
     assert (s2[:, 0] >= thr2[0]).sum() == 1
+
+
+def test_tag_events_cli(tmp_path, rng):
+    """tag --events: stream API + client-side detection -> JSON file."""
+    import threading
+    import wave
+
+    from mla_tpu.__main__ import main
+    from mla_tpu.serve.http import create_server
+    from tests.test_timeline import _http_cfg_and_wav
+
+    cfg, model, variables, wav = _http_cfg_and_wav(rng)
+    srv = create_server(cfg, variables, port=0, max_streams=2,
+                        chunk_patches=3, transfer_dtype="float32",
+                        timeline_cap=8)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://%s:%d" % srv.server_address[:2]
+    wav_path = tmp_path / "clip.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(cfg.frontend.sample_rate)
+        w.writeframes((wav * 32767).astype("<i2").tobytes())
+    out = tmp_path / "ev.json"
+    try:
+        main(["tag", "--url", base, "--wav", str(wav_path), "--top_k=2",
+              "--wire=float32", "--events", str(out),
+              "--event_threshold=0.0"])
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    payload = json.loads(out.read_text())
+    assert len(payload["events"]) == 2  # threshold 0: one per top-k column
+    assert all("label" in e for e in payload["events"])
