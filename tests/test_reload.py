@@ -285,3 +285,41 @@ def test_native_reload_now(rng):
         assert srv.reload_now() == {"step": 7}
     finally:
         srv.server_close()
+
+
+def test_reload_under_concurrent_feeds(rng):
+    """Hot-swap while another stream feeds: the swap holds dev+cond, the
+    tick thread holds dev for its state swap — scores must stay finite
+    and the post-drain state must be reachable (no deadlock, no torn
+    variables/states pairing)."""
+    import threading as _th
+
+    from mla_tpu.serve.ticker import TickLoop
+
+    cfg, model, v1, v2 = _setup(rng)
+    loop = TickLoop(BatchedStreamingServer(cfg, v1, max_streams=2,
+                                           chunk_patches=2))
+    try:
+        a, b = loop.open(), loop.open()
+        chunk = _samples_per_patches(cfg.frontend, 2)
+        stop = _th.Event()
+
+        def feeder():
+            while not stop.is_set():
+                loop.feed(b, (rng.standard_normal(chunk) * 0.5
+                              ).astype(np.float32), sync=False)
+
+        t = _th.Thread(target=feeder, daemon=True)
+        t.start()
+        try:
+            for k in range(20):
+                loop.reload_weights(v2 if k % 2 == 0 else v1)
+                loop.feed(a, (rng.standard_normal(chunk) * 0.3
+                              ).astype(np.float32))
+                s = loop.scores(a)
+                assert np.isfinite(s).all() and (s >= 0).all() and (s <= 1).all()
+        finally:
+            stop.set()
+            t.join(timeout=10)
+    finally:
+        loop.stop()
