@@ -709,8 +709,12 @@ def cmd_tag(args):
         if args.events:
             from mla_tpu.serve.events import events_from_timeline_payload
 
+            threshold = args.event_threshold
+            if getattr(args, "thresholds", None):
+                with open(args.thresholds) as fh:
+                    threshold = json.load(fh)["thresholds"]
             events = events_from_timeline_payload(
-                tl, threshold=args.event_threshold,
+                tl, threshold=threshold,
                 merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur)
             with open(args.events, "w") as fh:
                 json.dump({"hop_s": tl["hop_s"],
@@ -912,6 +916,9 @@ def main(argv=None):
                     help="also detect discrete events from the timeline "
                          "window (client-side; like infer --events)")
     sg.add_argument("--event_threshold", type=float, default=0.5)
+    sg.add_argument("--thresholds", default=None, metavar="JSON",
+                    help="per-class thresholds from eval --calibrate "
+                         "(overrides --event_threshold)")
     sg.add_argument("--event_gap", type=float, default=0.0)
     sg.add_argument("--event_min_dur", type=float, default=0.0)
     sg.set_defaults(fn=cmd_tag)

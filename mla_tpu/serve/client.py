@@ -262,12 +262,13 @@ class TagStream:
         return self._c._request(
             "GET", f"/v1/streams/{self.sid}/timeline?top_k={top_k}")
 
-    def events(self, top_k: int = 5, threshold: float = 0.5,
+    def events(self, top_k: int = 5, threshold=0.5,
                merge_gap_s: float = 0.0, min_dur_s: float = 0.0) -> list:
         """Discrete events over the stream's timeline window (client-side
         post-processing — serve/events.py): [{"label", "t_start", "t_end",
         "score", "mean", "att_mass", "class_idx"}, ...], timestamps
-        absolute on the stream's patch grid."""
+        absolute on the stream's patch grid. ``threshold``: scalar or a
+        {label: threshold} table (eval --calibrate output)."""
         from mla_tpu.serve.events import events_from_timeline_payload
 
         return events_from_timeline_payload(

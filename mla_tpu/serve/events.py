@@ -128,13 +128,24 @@ def _merge_runs(runs: List[List[int]], gap: int) -> List[List[int]]:
     return merged
 
 
-def events_from_timeline_payload(payload: Dict, threshold: float = 0.5,
+def events_from_timeline_payload(payload: Dict, threshold=0.5,
                                  merge_gap_s: float = 0.0,
                                  min_dur_s: float = 0.0) -> List[Dict]:
     """Detect events from a /v1/streams/<sid>/timeline JSON payload (the
     columns are the stream's top-k classes; ``class_idx`` below indexes
-    into ``payload['classes']``, and ``label`` carries the class name)."""
+    into ``payload['classes']``, and ``label`` carries the class name).
+    ``threshold``: a scalar, or a {label: threshold} mapping (e.g. the
+    ``eval --calibrate`` JSON's "thresholds" table) — mapped onto the
+    payload's columns by label; a column missing from the mapping is an
+    error (calibrate with the same config/labels)."""
     names = [n for n, _ in payload["classes"]]
+    if isinstance(threshold, dict):
+        missing = [n for n in names if n not in threshold]
+        if missing:
+            raise ValueError(
+                f"threshold table lacks {missing} — calibrate with the "
+                "same config/labels as the service")
+        threshold = np.asarray([threshold[n] for n in names], np.float32)
     return detect_events(
         np.asarray(payload["probs"], np.float32),
         np.asarray(payload["weights"], np.float32),

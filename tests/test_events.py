@@ -283,3 +283,18 @@ def test_tag_events_cli(tmp_path, rng):
     payload = json.loads(out.read_text())
     assert len(payload["events"]) == 2  # threshold 0: one per top-k column
     assert all("label" in e for e in payload["events"])
+
+
+def test_events_from_payload_threshold_table():
+    f, w = _tracks()
+    payload = {
+        "start_patch": 0, "hop_s": 1.0,
+        "classes": [["dog", 0.8], ["rain", 0.1]],
+        "weights": w.tolist(), "probs": f.tolist(),
+    }
+    evs = events_from_timeline_payload(
+        payload, threshold={"dog": 0.85, "rain": 0.05, "extra": 0.9})
+    got = {(e["label"], round(e["t_start"], 2)) for e in evs}
+    assert ("dog", 1.0) in got and ("rain", 0.0) in got
+    with pytest.raises(ValueError, match="lacks"):
+        events_from_timeline_payload(payload, threshold={"dog": 0.5})
