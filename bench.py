@@ -147,9 +147,35 @@ def _cpu_reference_throughput(cfg):
     return CPU_CLIPS / dt
 
 
+def _require_device(timeout_s: float = 300.0):
+    """Fail FAST with a diagnosable error if the TPU tunnel is dead.
+
+    jax.devices() on the axon platform blocks forever when the tunnel is
+    down (observed for 10+ h on 2026-08-18); without this guard the
+    driver's bench run hangs until ITS timeout with no explanation. The
+    probe runs in a daemon thread so a hung backend init can't pin us."""
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(f"bench.py: jax.devices() unresponsive after {timeout_s:.0f}s "
+              "— TPU tunnel down; no measurement possible", file=sys.stderr)
+        os._exit(2)  # the probe thread is wedged in C; sys.exit would hang
+
+
 def main():
     from mla_tpu.config import get_config
 
+    _require_device()
     cfg = get_config("audioset_full_dp")
     infer_cps, train_cps, infer_spread, train_spread = _tpu_throughput(cfg)
     cpu_cps = _cpu_reference_throughput(cfg)
