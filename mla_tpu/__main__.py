@@ -718,7 +718,10 @@ def cmd_tag(args):
                 merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur)
             with open(args.events, "w") as fh:
                 json.dump({"hop_s": tl["hop_s"],
-                           "threshold": args.event_threshold,
+                           "threshold": (args.event_threshold
+                                         if not getattr(args, "thresholds",
+                                                        None) else
+                                         f"per-class ({args.thresholds})"),
                            "events": events}, fh, indent=1)
             print(f"# events: {len(events)} -> {args.events}",
                   file=sys.stderr)

@@ -15,6 +15,7 @@ the stateless grain stream (``data/pipeline.py``).
 
 from __future__ import annotations
 
+import warnings
 from typing import Dict, Iterator
 
 import numpy as np
@@ -123,6 +124,12 @@ class BalancedSampler:
         self.seed = int(state["seed"])
         self._reset()
         if int(state.get("version", 1)) < 3:  # legacy checkpoint: replay
+            warnings.warn(
+                "restoring a pre-v3 sampler checkpoint: the balanced "
+                "class distribution is preserved, but the exact clip "
+                "order of the original run is NOT reproduced (its "
+                "serialized permutations/rng_state are superseded by the "
+                "counter-based stream)", stacklevel=2)
             for _ in range(int(state["step"])):
                 self.next_batch()
             return

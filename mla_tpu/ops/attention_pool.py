@@ -216,6 +216,53 @@ def window_timeline(gate_window, prob_window, num, den, m,
     return (att / np.maximum(den[None, :], _EPS)).astype(np.float32), f
 
 
+@jax.jit
+def _pack_timeline(tl, states, sid):
+    """Device-side gather of everything a timeline readout needs into TWO
+    arrays — one f32 blob (ring rows + per-level num/den/m) and one int32
+    pair (cursor, count) — so the host pays two tunnel fetches total
+    (~27 ms each here) instead of 4 + 3*n_levels separate ones."""
+    parts = [tl.g[sid].ravel(), tl.f[sid].ravel()]
+    parts += [jnp.stack([st.num[sid], st.den[sid], st.m[sid]]).ravel()
+              for st in states]
+    return jnp.concatenate(parts), jnp.stack([tl.cursor[sid], tl.count[sid]])
+
+
+def read_timeline(states, tl, sid: int, att_activation: str):
+    """Decode one stream's localization ring against its final accumulator
+    state: ``(start_patch, [(weights [T, C], probs [T, C]) per level])``,
+    oldest patch first, weights via :func:`window_timeline` (globally
+    exact for the exp gate). Shared by StreamingTagger, the batched
+    server, both HTTP tiers, and the AOT StreamingArtifact so every
+    surface reads the same math — and deliberately FLAX-FREE (this module
+    imports only jax/numpy) so an exported-artifact edge can read
+    timelines with just jax installed. Two on-demand device fetches (one
+    packed f32 blob ~1 MB at the flagship's cap=64, one int pair) — the
+    per-tick hot path never fetches."""
+    import numpy as np
+
+    if tl is None:
+        raise RuntimeError(
+            "timeline disabled; construct with timeline_cap > 0")
+    blob, ints = _pack_timeline(tl, states, sid)
+    blob = np.asarray(blob)
+    cur, cnt = (int(v) for v in np.asarray(ints))
+    cap, n_levels, c = tl.g.shape[1:]
+    ring = cap * n_levels * c
+    g = blob[:ring].reshape(cap, n_levels, c)
+    f = blob[ring: 2 * ring].reshape(cap, n_levels, c)
+    st = blob[2 * ring:].reshape(n_levels, 3, c)  # [L, (num,den,m), C]
+    n = min(cnt, cap)
+    idx = (cur - n + np.arange(n)) % cap  # oldest -> newest
+    levels = []
+    for li in range(n_levels):
+        w, fw = window_timeline(
+            g[idx, li], f[idx, li],
+            st[li, 0], st[li, 1], st[li, 2], att_activation)
+        levels.append((w, fw))
+    return cnt - n, levels
+
+
 class StreamState(NamedTuple):
     """O(1) per-clip streaming state: running-max-renormalized accumulators.
 

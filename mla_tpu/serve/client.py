@@ -145,13 +145,21 @@ class TagClient:
                 conn.request(method, path, body=body, headers=headers)
                 resp = conn.getresponse()
                 raw = resp.read()
-            except (http.client.RemoteDisconnected, ConnectionResetError,
-                    BrokenPipeError):
+            except http.client.RemoteDisconnected:
                 # stale keep-alive: the server closed the idle connection
                 # WITHOUT responding, so the request was not processed —
                 # reconnect and retry once (a real outage fails again)
                 self.close()
                 if attempt:
+                    raise
+                continue
+            except (ConnectionResetError, BrokenPipeError):
+                # a reset can arrive AFTER the server processed the
+                # request but before the reply was read — retrying a
+                # non-idempotent POST (e.g. a stream audio feed) would
+                # duplicate its effect. Retry only idempotent GETs.
+                self.close()
+                if attempt or method != "GET":
                     raise
                 continue
             except Exception:

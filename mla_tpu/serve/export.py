@@ -160,7 +160,10 @@ def export_streaming(
     ``finalize(states) -> probs [S, C]`` — the O(1)-state long-form path
     (T6/T11) as portable StableHLO, weights baked in. An edge deployment
     loops the chunk program over unbounded audio and reads scores at any
-    time, with only jax installed (no model code, flax, or configs);
+    time, with only jax installed — no model code, flax, or configs: the
+    whole edge surface (``load_exported_streaming``, ``chunk``/``finalize``
+    and the ``timeline`` readout via the flax-free
+    ``ops.attention_pool.read_timeline``) imports nothing that pulls flax;
     ``n_valid`` masks a padded final chunk exactly like the live server's
     flush. States cross the API as plain nested tuples (one
     ``(num, den, m)`` triple per level) so the loader needs no NamedTuple
@@ -325,8 +328,8 @@ class StreamingArtifact:
         """Localization window for stream ``sid`` — the live server's
         timeline readout at the edge (export with timeline_cap > 0):
         ``(start_patch, [(weights [T, C], probs [T, C]) per level])``."""
-        from mla_tpu.ops.attention_pool import StreamState, TimelineState
-        from mla_tpu.serve.streaming import read_timeline
+        from mla_tpu.ops.attention_pool import (StreamState, TimelineState,
+                                                read_timeline)
 
         levels, tl = state
         if tl is None:

@@ -219,10 +219,20 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _reply(self, code: int, obj: Dict):
+        # keep-alive hygiene: if this request carried a body no route
+        # consumed (unknown route, flush/DELETE with an unexpected body),
+        # the unread bytes would desync the next request on the persistent
+        # connection — drop it after replying (SDK always sends
+        # Content-Length: 0 on those routes; only raw clients hit this)
+        if (not getattr(self, "_body_consumed", True)
+                and int(self.headers.get("Content-Length") or 0) > 0):
+            self.close_connection = True
         body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:  # announce it (413s, unread bodies)
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -232,6 +242,7 @@ class _Handler(BaseHTTPRequestHandler):
     max_body_bytes = 64 * 1024 * 1024  # ~17 min of f32 audio per request
 
     def _read_body(self) -> bytes:
+        self._body_consumed = True
         n = int(self.headers.get("Content-Length") or 0)
         if n > self.max_body_bytes:
             # the body is never read on this path; drop the connection so
@@ -315,6 +326,7 @@ class _Handler(BaseHTTPRequestHandler):
         return default
 
     def do_POST(self):
+        self._body_consumed = False  # see _reply: keep-alive body hygiene
         st = self.state
         if self.path.split("?")[0] == "/v1/reload":
             # zero-downtime weight swap: re-read the configured checkpoint
@@ -441,6 +453,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._error(404, f"no route {self.path}")
 
     def do_DELETE(self):
+        self._body_consumed = False  # see _reply: keep-alive body hygiene
         m = _STREAM_RE.match(self.path.split("?")[0])
         if m and m.group(2) is None:
             sid = int(m.group(1))

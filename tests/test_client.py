@@ -162,3 +162,61 @@ def test_error_mapping(setup):
             c.tag(wav, wire="int8")
     finally:
         srv.shutdown()
+
+
+def test_reset_retry_is_get_only(monkeypatch):
+    """ADVICE r3: a ConnectionResetError/BrokenPipeError can arrive AFTER
+    the server processed a POST (e.g. a stream audio feed) — retrying
+    would duplicate its effect. Only idempotent GETs retry on reset;
+    RemoteDisconnected (request provably unprocessed) retries either way."""
+    import http.client as hc
+
+    from mla_tpu.serve import client as clmod
+
+    attempts = []
+
+    def make_fake(exc):
+        class FakeConn:
+            def __init__(self, *a, **k):
+                pass
+
+            def request(self, method, path, body=None, headers=None):
+                attempts.append((method, path))
+                raise exc
+
+            def close(self):
+                pass
+
+        return FakeConn
+
+    c = clmod.TagClient("http://127.0.0.1:1")
+
+    # reset on GET: retried once (2 attempts), then surfaces
+    monkeypatch.setattr(hc, "HTTPConnection", make_fake(ConnectionResetError()))
+    with pytest.raises(ConnectionResetError):
+        c._request("GET", "/v1/healthz")
+    assert len(attempts) == 2
+
+    # reset on POST: NOT retried (may have been processed server-side)
+    attempts.clear()
+    c.close()
+    with pytest.raises(ConnectionResetError):
+        c._request("POST", "/v1/streams/0/audio", b"x")
+    assert len(attempts) == 1
+
+    # broken pipe on POST: same
+    attempts.clear()
+    c.close()
+    monkeypatch.setattr(hc, "HTTPConnection", make_fake(BrokenPipeError()))
+    with pytest.raises(BrokenPipeError):
+        c._request("POST", "/v1/streams/0/audio", b"x")
+    assert len(attempts) == 1
+
+    # stale keep-alive (RemoteDisconnected) on POST: retried once
+    attempts.clear()
+    c.close()
+    monkeypatch.setattr(hc, "HTTPConnection",
+                        make_fake(hc.RemoteDisconnected()))
+    with pytest.raises(hc.RemoteDisconnected):
+        c._request("POST", "/v1/streams/0/audio", b"x")
+    assert len(attempts) == 2

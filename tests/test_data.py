@@ -145,7 +145,12 @@ def test_balanced_sampler_o1_resume_without_replay(rng):
 
 
 def test_balanced_sampler_legacy_state_resumes_by_replay(rng):
-    """v1 {seed, step} checkpoints (round-1 format) still resume correctly."""
+    """v1 {seed, step} checkpoints (round-1 format) still resume correctly,
+    and the order-divergence warning fires exactly on the legacy path
+    (ADVICE r3: surfacing that a pre-v3 run's exact clip order is not
+    reproduced — the distribution is)."""
+    import warnings
+
     y = rng.random((150, 8)) < 0.2
     y[~y.any(1), 0] = True
     a = BalancedSampler(y, 8, seed=5)
@@ -153,8 +158,14 @@ def test_balanced_sampler_legacy_state_resumes_by_replay(rng):
         a.next_batch()
     nxt = a.next_batch()
     b = BalancedSampler(y, 8, seed=0)
-    b.load_state_dict({"seed": 5, "step": 7})
+    with pytest.warns(UserWarning, match="pre-v3"):
+        b.load_state_dict({"seed": 5, "step": 7})
     np.testing.assert_array_equal(b.next_batch(), nxt)
+    # v3 states restore silently
+    c = BalancedSampler(y, 8, seed=0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        c.load_state_dict(a.state_dict())
 
 
 def test_sequential_sampler_covers_all():

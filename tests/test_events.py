@@ -283,6 +283,48 @@ def test_tag_events_cli(tmp_path, rng):
     payload = json.loads(out.read_text())
     assert len(payload["events"]) == 2  # threshold 0: one per top-k column
     assert all("label" in e for e in payload["events"])
+    assert payload["threshold"] == 0.0  # scalar run records the scalar
+
+
+def test_tag_events_cli_records_threshold_table(tmp_path, rng):
+    """ADVICE r3: with a per-class --thresholds table, tag --events must
+    record the table as its operating point (like infer's _write_events),
+    not the unused scalar --event_threshold."""
+    import threading
+    import wave
+
+    from mla_tpu.__main__ import main
+    from mla_tpu.data.labels import labels_for
+    from mla_tpu.serve.http import create_server
+    from tests.test_timeline import _http_cfg_and_wav
+
+    cfg, model, variables, wav = _http_cfg_and_wav(rng)
+    srv = create_server(cfg, variables, port=0, max_streams=2,
+                        chunk_patches=3, transfer_dtype="float32",
+                        timeline_cap=8)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    base = "http://%s:%d" % srv.server_address[:2]
+    wav_path = tmp_path / "clip.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(cfg.frontend.sample_rate)
+        w.writeframes((wav * 32767).astype("<i2").tobytes())
+    labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
+    thr_path = tmp_path / "thr.json"
+    thr_path.write_text(json.dumps(
+        {"thresholds": {name: 0.0 for name in labels}}))
+    out = tmp_path / "ev.json"
+    try:
+        main(["tag", "--url", base, "--wav", str(wav_path), "--top_k=2",
+              "--wire=float32", "--events", str(out),
+              "--thresholds", str(thr_path)])
+    finally:
+        srv.shutdown()
+        srv.server_close()
+    payload = json.loads(out.read_text())
+    assert payload["threshold"] == f"per-class ({thr_path})"
+    assert len(payload["events"]) == 2
 
 
 def test_events_from_payload_threshold_table():

@@ -241,3 +241,42 @@ def test_export_streaming_timeline_at_edge(setup, tmp_path):
         np.testing.assert_allclose(f, wf, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(art.finalize(state)[0], ref.scores(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_edge_surface_is_flax_free(setup, tmp_path):
+    """The export docstring's deployment claim — the edge needs 'only jax
+    installed' — holds for the WHOLE artifact surface: loading, chunk,
+    finalize, AND the timeline readout must not pull flax (ADVICE r3:
+    timeline used to route through serve.streaming -> models.zoo -> flax,
+    and serve/__init__ imported streaming eagerly)."""
+    import subprocess
+    import sys
+
+    from mla_tpu.serve.export import export_streaming
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    cfg, model, variables, _ = setup
+    path = str(tmp_path / "edge.mlax")
+    meta = export_streaming(cfg, variables, path, streams=1, chunk_patches=2,
+                            platforms=("cpu",), timeline_cap=8)
+    n = _samples_per_patches(cfg.frontend, 2)
+    code = f"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from mla_tpu.serve.export import load_exported_streaming
+art = load_exported_streaming({path!r})
+state = art.init_state()
+wav = np.zeros((1, {n}), np.float32)
+state = art.chunk(state, wav)
+scores = art.finalize(state)
+start, levels = art.timeline(state)
+assert scores.shape == (1, {meta["n_classes"]}), scores.shape
+assert "flax" not in sys.modules, "edge path imported flax"
+print("EDGE_OK")
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "EDGE_OK" in r.stdout

@@ -332,3 +332,53 @@ def test_async_feed_stream_matches_sync(served):
                                    rtol=1e-6, atol=1e-7)
     finally:
         c.close()
+
+
+def test_unread_body_closes_keepalive_cleanly(served):
+    """ADVICE r3: a raw client POSTing a body to a route that never reads
+    it (unknown route, flush with an unexpected body) must not leave the
+    bytes in the socket — on HTTP/1.1 keep-alive they would desync the
+    NEXT request on the connection. The server now announces and performs
+    a connection close on any reply whose request body went unconsumed."""
+    import http.client
+
+    _, _, _, base = served
+    host, port = base.replace("http://", "").split(":")
+
+    # unknown POST route with a body -> 404 + Connection: close
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.request("POST", "/v1/nosuchroute", body=b"x" * 4096,
+                     headers={"Content-Type": "application/octet-stream"})
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 404
+        assert r.will_close, "server must close after an unread body"
+    finally:
+        conn.close()
+
+    # flush with an unexpected body: same hygiene, even on a 200
+    sid = _req(base, "POST", "/v1/streams")["sid"]
+    try:
+        conn = http.client.HTTPConnection(host, int(port), timeout=30)
+        try:
+            conn.request("POST", f"/v1/streams/{sid}/flush", body=b"junk",
+                         headers={"Content-Type": "application/octet-stream"})
+            r = conn.getresponse()
+            r.read()
+            assert r.will_close
+        finally:
+            conn.close()
+    finally:
+        _req(base, "DELETE", f"/v1/streams/{sid}")
+
+    # bodyless requests keep the connection alive (the SDK's hot path)
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        for _ in range(2):
+            conn.request("GET", "/v1/healthz")
+            r = conn.getresponse()
+            assert json.loads(r.read())["ok"] is True
+            assert not r.will_close
+    finally:
+        conn.close()
