@@ -219,6 +219,22 @@ def cmd_eval(args):
             print(f"# thresholds: {len(thr)} classes at precision>="
                   f"{args.target_precision} -> {args.calibrate}",
                   file=sys.stderr)
+    if args.events:
+        # score the SED surface end-to-end (VERDICT r3 item 2): the
+        # timeline -> detect_events chain against known event boundaries,
+        # DCASE segment-based convention
+        from mla_tpu.data.labels import labels_for
+        from mla_tpu.train.sed_eval import evaluate_sed
+        from mla_tpu.train.state import eval_params, variables_from_state
+
+        threshold = _resolve_threshold(
+            args, labels_for(cfg.data.dataset, cfg.model.n_classes))
+
+        stats["events"] = evaluate_sed(
+            cfg, variables_from_state(state, eval_params(cfg, state)),
+            n_clips=args.sed_clips, threshold=threshold,
+            merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur,
+            segment_s=args.segment_s)
     print(_jdump(stats))
 
 
@@ -253,9 +269,6 @@ def cmd_infer(args):
     if args.wav_dir:
         if args.wav:
             raise SystemExit("infer: pass one of --wav / --wav_dir")
-        if want_tl:
-            raise SystemExit("infer: --timeline/--events are per-clip "
-                             "outputs; not supported with --wav_dir")
         _infer_dir(args, cfg, variables)
         return
     if not args.wav:
@@ -303,20 +316,37 @@ def _infer_dir(args, cfg, variables):
     clip on stdout (reference C15's "forward the eval set" usage as a
     product verb). Clips of ANY length share one compiled program: each
     clip streams through a single reset() StreamingTagger — a one-shot
-    batch would compile a fresh XLA program per distinct clip length."""
+    batch would compile a fresh XLA program per distinct clip length.
+
+    Composes with the localization surface (VERDICT r3 item 4):
+    ``--events JSON`` inlines each clip's discrete events into its JSONL
+    line and (unless the path is ``-``) writes one combined
+    ``{relpath: events}`` artifact; ``--timeline DIR`` writes one
+    per-patch CSV per clip under DIR (mirroring the corpus layout). Both
+    read the tagger's on-device ring, so clips longer than
+    ``--timeline_cap`` patches report their LAST cap patches — same ring
+    semantics as ``infer --stream --timeline``."""
     import glob as _glob
 
     from mla_tpu.data import audio_io
     from mla_tpu.data.labels import labels_for
     from mla_tpu.serve.streaming import StreamingTagger
 
+    want_tl = bool(args.timeline or args.events)
     paths = sorted(
         _glob.glob(os.path.join(args.wav_dir, "**", "*.wav"), recursive=True))
     if not paths:
         raise SystemExit(f"infer: no .wav files under {args.wav_dir}")
     names = labels_for(cfg.data.dataset, cfg.model.n_classes, args.labels_csv)
-    tagger = StreamingTagger(cfg, variables)
+    threshold = _resolve_threshold(args, names) if args.events else None
+    if args.timeline:
+        os.makedirs(args.timeline, exist_ok=True)
+    hop_s = (cfg.frontend.example_hop_frames * cfg.frontend.hop_length
+             / cfg.frontend.sample_rate)
+    tagger = StreamingTagger(
+        cfg, variables, timeline_cap=args.timeline_cap if want_tl else 0)
     block = 10 * cfg.frontend.sample_rate
+    all_events = {}
     for path in paths:
         wav = audio_io.load_wav_16k(path, cfg.frontend.sample_rate)
         tagger.reset()
@@ -325,11 +355,44 @@ def _infer_dir(args, cfg, variables):
         tagger.flush()
         scores = tagger.scores()
         top = np.argsort(-scores)[: args.top_k]
-        print(_jdump({
+        line = {
             "wav": path,
             "seconds": round(len(wav) / cfg.frontend.sample_rate, 3),
             "top_k": [[names[i], float(scores[i])] for i in top],
-        }))
+        }
+        if want_tl:
+            from mla_tpu.serve.events import detect_events
+
+            start_patch, levels = tagger.timeline()
+            w = np.mean([wl for wl, _ in levels], axis=0)
+            f = np.mean([fl for _, fl in levels], axis=0)
+            rel = os.path.relpath(path, args.wav_dir)
+            if args.timeline:
+                out_csv = os.path.join(
+                    args.timeline, os.path.splitext(rel)[0] + ".timeline.csv")
+                os.makedirs(os.path.dirname(out_csv) or ".", exist_ok=True)
+                _write_timeline_csv(out_csv, start_patch, hop_s,
+                                    [names[i] for i in top],
+                                    f[:, top], w[:, top])
+            if args.events:
+                events = detect_events(
+                    f, w, hop_s=hop_s, start_patch=start_patch,
+                    threshold=threshold,
+                    merge_gap_s=args.event_gap,
+                    min_dur_s=args.event_min_dur,
+                    class_names=names, classes=[int(i) for i in top])
+                line["events"] = events
+                all_events[rel] = events
+        print(_jdump(line))
+    if args.events and args.events != "-":
+        with open(args.events, "w") as fh:
+            json.dump({"hop_s": hop_s,
+                       "threshold": (args.event_threshold
+                                     if np.ndim(threshold) == 0 else
+                                     f"per-class ({args.thresholds})"),
+                       "clips": all_events}, fh, indent=1)
+        print(f"# events: {sum(len(v) for v in all_events.values())} over "
+              f"{len(all_events)} clips -> {args.events}", file=sys.stderr)
 
 
 def _timeline_mean(cfg, variables, wav):
@@ -369,6 +432,23 @@ def _write_timeline_csv(path, start_patch, hop_s, col_names, probs, atts):
           f"classes -> {path}", file=sys.stderr)
 
 
+def _resolve_threshold(args, names):
+    """The event operating point: the scalar --event_threshold, or the
+    per-class table from ``eval --calibrate`` via --thresholds (one
+    resolver for the single-clip, --wav_dir, and eval --events paths)."""
+    if not getattr(args, "thresholds", None):
+        return args.event_threshold
+    with open(args.thresholds) as fh:
+        table = json.load(fh)["thresholds"]
+    missing = [n for n in names if n not in table]
+    if missing:
+        raise SystemExit(
+            f"--thresholds file lacks {len(missing)} of this "
+            f"config's classes (e.g. {missing[:3]}) — calibrate with "
+            "the same config/labels")
+    return np.asarray([table[n] for n in names], np.float32)
+
+
 def _write_events(w, f, hop_s, start_patch, top, names, args):
     """Discrete event list (serve/events.py over the clip's top-k classes)
     as one JSON file: threshold / gap-merge / min-duration via
@@ -376,17 +456,7 @@ def _write_events(w, f, hop_s, start_patch, top, names, args):
     calibrated thresholds from ``eval --calibrate`` via --thresholds."""
     from mla_tpu.serve.events import detect_events
 
-    threshold = args.event_threshold
-    if getattr(args, "thresholds", None):
-        with open(args.thresholds) as fh:
-            table = json.load(fh)["thresholds"]
-        missing = [n for n in names if n not in table]
-        if missing:
-            raise SystemExit(
-                f"infer: --thresholds file lacks {len(missing)} of this "
-                f"config's classes (e.g. {missing[:3]}) — calibrate with "
-                "the same config/labels")
-        threshold = np.asarray([table[n] for n in names], np.float32)
+    threshold = _resolve_threshold(args, names)
     events = detect_events(
         f, w, hop_s=hop_s, start_patch=start_patch,
         threshold=threshold,
@@ -792,6 +862,25 @@ def main(argv=None):
                          "--target_precision); infer --events consumes "
                          "them via --thresholds")
     sv.add_argument("--target_precision", type=float, default=0.8)
+    sv.add_argument("--events", action="store_true",
+                    help="additionally score the SED surface end-to-end: "
+                         "timeline -> detect_events on the synthetic "
+                         "event-boundary corpus, DCASE segment-based "
+                         "F1/error-rate (train/sed_eval.py)")
+    sv.add_argument("--thresholds", default=None, metavar="JSON",
+                    help="per-class thresholds for --events (an "
+                         "eval --calibrate output); default scalar 0.5")
+    sv.add_argument("--event_threshold", type=float, default=0.5)
+    sv.add_argument("--event_gap", type=float, default=0.0,
+                    help="merge events separated by gaps <= this (s)")
+    sv.add_argument("--event_min_dur", type=float, default=0.0,
+                    help="drop events shorter than this (s)")
+    sv.add_argument("--segment_s", type=float, default=None,
+                    help="scoring grid for --events (default: the "
+                         "timeline's 0.96 s patch hop; 1.0 = DCASE grid)")
+    sv.add_argument("--sed_clips", type=int, default=None,
+                    help="event-corpus size for --events "
+                         "(default data.n_eval_clips)")
     sv.add_argument("--set", nargs="*")
     sv.set_defaults(fn=cmd_eval)
 

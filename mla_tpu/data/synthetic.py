@@ -63,6 +63,75 @@ def synth_waveforms(
     return x, y
 
 
+def synth_event_waveforms(
+    n_clips: int,
+    n_classes: int,
+    clip_seconds: float,
+    sample_rate: int = 16000,
+    seed: int = 0,
+    max_events: int = 3,
+    min_event_s: float = 1.5,
+    max_event_s: Optional[float] = None,
+    noise: float = 0.05,
+    ramp_s: float = 0.01,
+):
+    """Event-localized corpus with GROUND-TRUTH BOUNDARIES: each clip is
+    noise plus 1..max_events tone BURSTS (distinct classes, class-coded
+    fundamentals as in :func:`synth_waveforms`), each occupying a random
+    [t_start, t_end) span with short cosine ramps. The boundaries are the
+    reference for scoring the SED surface (``detect_events`` →
+    ``utils.metrics.segment_event_metrics``) — the plain synthetic corpus
+    plays every class wall-to-wall, so nothing there exercises onset/
+    offset behavior. Clip-level labels stay weak (multi-hot): training
+    never sees the boundaries, exactly the weakly-supervised protocol the
+    attention family's localization readout is for (arXiv:1803.02353 §2).
+
+    Returns ``(x [N, samples] f32, y [N, C] multi-hot f32,
+    events: list of per-clip [(class_idx, t_start_s, t_end_s), ...])``.
+    ``min_event_s`` defaults to 1.5 s so every event overlaps at least
+    one full 0.96 s patch of the front-end grid.
+    """
+    rng = np.random.default_rng(seed)
+    n = int(round(clip_seconds * sample_rate))
+    hi = max_event_s if max_event_s is not None else max(
+        min_event_s, 0.5 * clip_seconds)
+    if min_event_s > clip_seconds:
+        raise ValueError(f"min_event_s {min_event_s} exceeds clip length "
+                         f"{clip_seconds}")
+    t = np.arange(n) / sample_rate
+    ramp_n = max(1, int(ramp_s * sample_rate))
+    x = np.empty((n_clips, n), np.float32)
+    y = np.zeros((n_clips, n_classes), np.float32)
+    events = []
+    for i in range(n_clips):
+        k_active = rng.choice(n_classes,
+                              size=rng.integers(1, max_events + 1),
+                              replace=False)
+        wav = noise * rng.standard_normal(n)
+        clip_events = []
+        for k in k_active:
+            dur = float(rng.uniform(min_event_s, min(hi, clip_seconds)))
+            t0 = float(rng.uniform(0.0, clip_seconds - dur))
+            t1 = t0 + dur
+            s0, s1 = int(round(t0 * sample_rate)), int(round(t1 * sample_rate))
+            f0 = class_frequency(int(k), n_classes)
+            phase = rng.uniform(0, 2 * np.pi)
+            amp = rng.uniform(0.25, 0.5)
+            burst = amp * np.sin(2 * np.pi * f0 * t[s0:s1] + phase)
+            env = np.ones(s1 - s0)
+            m = min(ramp_n, len(env) // 2)
+            if m:
+                ramp = 0.5 - 0.5 * np.cos(np.pi * np.arange(m) / m)
+                env[:m] = ramp
+                env[-m:] = ramp[::-1]
+            wav[s0:s1] += burst * env
+            y[i, int(k)] = 1.0
+            clip_events.append((int(k), t0, t1))
+        x[i] = wav.astype(np.float32)
+        events.append(sorted(clip_events, key=lambda e: e[1]))
+    return x, y, events
+
+
 def synth_features(
     n_clips: int,
     n_classes: int,

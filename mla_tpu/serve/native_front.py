@@ -45,6 +45,7 @@ import subprocess
 import threading
 from typing import Dict, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from mla_tpu.config import Config
@@ -209,7 +210,8 @@ class NativeTagServer:
         # compile tick/finalize BEFORE the C++ front starts accepting:
         # a cold first tick at high max_streams can outlast the C++
         # sync-feed wait (SYNC_TIMEOUT_S) and 503 every early client
-        self.srv.warmup()
+        # (packed=True also compiles the one-upload hot-tick program)
+        self.srv.warmup(packed=True)
         self.labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
         srv = self.srv
         self._itemsize = np.dtype(srv._buf_dtype).itemsize
@@ -277,11 +279,56 @@ class NativeTagServer:
             self._h = None
 
     # --- device tick thread ----------------------------------------------
+    # staging ring depth: a buffer is reused only after RING_DEPTH-1 more
+    # gathers, so an async host->device transfer has that many ticks
+    # (~60-130 ms at measured tick times) to complete before its memory
+    # is overwritten. This platform's block_until_ready is a no-op, so
+    # there is no completion signal to wait on; the ring replaces the
+    # round-3 1.05 ms/tick defensive copy with reuse distance.
+    RING_DEPTH = 8
+
     def _tick_loop(self):
         srv = self.srv
         lib = self._lib
         chunk_bytes = self._cw_units * self._itemsize
-        wav_buf = np.empty(srv.S * chunk_bytes, np.uint8)
+        wav_bytes = srv.S * chunk_bytes
+        if srv._packed_step is not None:
+            # packed hot path (VERDICT r4): sf_wait_gather writes wav rows
+            # and the active vector STRAIGHT into one flat uint8 staging
+            # buffer ([S*chunk_bytes wire][S active]) — the exact layout
+            # the one-upload packed tick program unpacks on device. Zero
+            # Python-side copies; one jnp.asarray per tick instead of a
+            # copy + three transfers.
+            ring = [np.zeros(srv.packed_nbytes, np.uint8)
+                    for _ in range(self.RING_DEPTH)]
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            ptrs = [(b.ctypes.data_as(u8p),
+                     ctypes.cast(b.ctypes.data + wav_bytes, u8p))
+                    for b in ring]
+            k = 0
+            while not self._closing:
+                buf = ring[k]
+                wav_p, act_p = ptrs[k]
+                n = lib.sf_wait_gather(self._h, wav_p, act_p, 200)
+                if n < 0:
+                    return
+                if n == 0:
+                    continue
+                active = buf[wav_bytes:].astype(bool)
+                dev_buf = jnp.asarray(buf)
+                with self.dev:
+                    srv.states, srv.tl = srv._packed_step(
+                        srv.variables, srv.states, srv.tl, dev_buf)
+                with self.host_lock:
+                    srv._fed |= active
+                lib.sf_tick_done(self._h)
+                k = (k + 1) % self.RING_DEPTH
+            return
+        # sharded server: the flat packed layout can't row-shard, so the
+        # mesh path keeps the 3-arg program (and the defensive copy — the
+        # upload may still be in flight when the next gather overwrites
+        # the staging buffer)
+        wav_buf = np.empty(wav_bytes, np.uint8)
         act_buf = np.zeros(srv.S, np.uint8)
         wav_p = wav_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         act_p = act_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
@@ -292,8 +339,6 @@ class NativeTagServer:
                 return
             if n == 0:
                 continue
-            # copy out: the upload may still be in flight when the next
-            # sf_wait_gather overwrites the staging buffer
             wav = wav_buf.view(srv._buf_dtype).reshape(
                 srv.S, self._cw_units).copy()
             active = act_buf.astype(bool)

@@ -244,6 +244,46 @@ class BatchedStreamingServer:
         self._batched_step = jax.jit(batched_step, **jit_kwargs)
         self._finalize = jax.jit(finalize)
 
+        # Packed hot-tick program (round-3 VERDICT weak item 2 — the
+        # endpoint ran at ~half the device ceiling, with ~4 ms/tick of
+        # upload handoff): a regular tick's three uploads (wav, active,
+        # n_valid) become ONE flat uint8 transfer — [S*row_bytes wire
+        # bytes][S active bytes] — unpacked ON DEVICE (slice + bitcast;
+        # n_valid is the constant chunk_patches on the hot path, flushes
+        # keep the 3-arg program). Small per-transfer latency dominates
+        # tiny uploads on this platform (CLAUDE.md: 3 arrays/tick measured
+        # ~180x slower than 1), and the single buffer lets the native
+        # front hand its C++-gathered staging memory straight to the
+        # device with zero Python copies (a rotating ring covers the
+        # platform's missing transfer-completion signal). Unsharded
+        # servers only: the flat layout can't row-shard; the mesh path
+        # keeps _batched_step.
+        self._packed_step = None
+        if mesh is None:
+            units, _ = self._chunk_hop_units()
+            itemsize = np.dtype(self._buf_dtype).itemsize
+            wav_bytes = self.S * units * itemsize
+            self.packed_nbytes = wav_bytes + self.S
+            jdt = jnp.dtype(self._buf_dtype)
+
+            def packed_step(variables, states, tl, packed):
+                raw = packed[:wav_bytes]
+                if itemsize == 1:
+                    wav = raw.reshape(self.S, units)
+                else:
+                    # uint8 [S, units, itemsize] -> buf dtype [S, units]:
+                    # XLA bitcast packs the minor axis little-endian
+                    # (index 0 = low bits), matching the wire's numpy
+                    # byte order (tested vs the 3-arg program)
+                    wav = jax.lax.bitcast_convert_type(
+                        raw.reshape(self.S, units, itemsize), jdt)
+                active = packed[wav_bytes:] != 0
+                n_valid = jnp.full((self.S,), self.chunk_patches, jnp.int32)
+                return batched_step(variables, states, tl, wav, active,
+                                    n_valid)
+
+            self._packed_step = jax.jit(packed_step)
+
     def _put_batch(self, wav, active, n_valid):
         if self._wav_sh is None:
             return jnp.asarray(wav), jnp.asarray(active), jnp.asarray(n_valid)
@@ -257,7 +297,7 @@ class BatchedStreamingServer:
             + self._put_batch(wav, active, n_valid)
         )
 
-    def warmup(self):
+    def warmup(self, packed: bool = False):
         """Compile the masked tick + finalize programs BEFORE serving.
 
         The batched tick's first compile takes minutes at high max_streams
@@ -265,7 +305,9 @@ class BatchedStreamingServer:
         503 sync feeds whose fold wait (SYNC_TIMEOUT, 120 s) expires
         mid-compile. An all-inactive blank tick triggers the exact same
         programs (identical avals and shardings) and leaves every stream
-        state numerically unchanged (active=False keeps st per row)."""
+        state numerically unchanged (active=False keeps st per row).
+        ``packed=True`` additionally compiles the one-upload packed tick
+        (the native front's hot path)."""
         wav = self._blank_tile()
         active = np.zeros(self.S, bool)
         n_valid = np.full(self.S, self.chunk_patches, np.int32)
@@ -273,6 +315,12 @@ class BatchedStreamingServer:
             *(self.variables, self.states, self.tl)
             + self._put_batch(wav, active, n_valid)
         )
+        if packed and self._packed_step is not None:
+            blank = np.zeros(self.packed_nbytes, np.uint8)
+            blank[: blank.size - self.S] = np.ascontiguousarray(
+                wav).view(np.uint8).ravel()
+            self.states, self.tl = self._packed_step(
+                self.variables, self.states, self.tl, jnp.asarray(blank))
         np.asarray(self._finalize(self.variables, self.states))  # compile + sync
 
     # --- stream lifecycle ---

@@ -289,3 +289,62 @@ def test_mesh_sharded_server_matches_unsharded(setup):
     with pytest.raises(ValueError, match="divisible"):
         BatchedStreamingServer(cfg, variables, max_streams=6, chunk_patches=5,
                                mesh=mesh)
+
+
+@pytest.mark.parametrize("wire", ["float32", "int16", "adpcm4"])
+def test_packed_tick_matches_three_arg_program(setup, wire):
+    """The one-upload packed hot tick ([S*row_bytes wire][S active] uint8,
+    unpacked on device via slice + bitcast) must produce bit-identical
+    states and timeline to the regular 3-arg program — including the
+    little-endian bitcast for multi-byte wires (VERDICT r4 item 3)."""
+    cfg, variables, wav = setup
+    srv = BatchedStreamingServer(cfg, variables, max_streams=3,
+                                 chunk_patches=4, transfer_dtype=wire,
+                                 timeline_cap=8)
+    assert srv._packed_step is not None
+    units, _ = srv._chunk_hop_units()
+    rng = np.random.default_rng(7)
+    if wire == "float32":
+        rows = (rng.standard_normal((3, units)) * 0.2).astype(np.float32)
+    elif wire == "int16":
+        rows = rng.integers(-30000, 30000, (3, units)).astype(np.int16)
+    else:  # adpcm4: real wire bytes from the server's own encoder
+        pcm = (rng.standard_normal(srv.chunk_samples) * 8000).astype(np.int16)
+        one = srv._adpcm["encode"](pcm, block=srv._adpcm["block"])
+        rows = np.stack([one, one[::1], one]).astype(np.uint8)
+    active = np.array([True, False, True])
+
+    states_a, tl_a = srv._batched_step(
+        srv.variables, srv.states, srv.tl, jnp.asarray(rows),
+        jnp.asarray(active),
+        jnp.full(3, srv.chunk_patches, np.int32))
+
+    packed = np.zeros(srv.packed_nbytes, np.uint8)
+    wav_bytes = rows.size * rows.itemsize
+    packed[:wav_bytes] = np.ascontiguousarray(rows).view(np.uint8).ravel()
+    packed[wav_bytes:] = active.astype(np.uint8)
+    states_b, tl_b = srv._packed_step(
+        srv.variables, srv.states, srv.tl, jnp.asarray(packed))
+
+    for sa, sb in zip(states_a, states_b):
+        np.testing.assert_array_equal(np.asarray(sa.num), np.asarray(sb.num))
+        np.testing.assert_array_equal(np.asarray(sa.den), np.asarray(sb.den))
+        np.testing.assert_array_equal(np.asarray(sa.m), np.asarray(sb.m))
+    np.testing.assert_array_equal(np.asarray(tl_a.g), np.asarray(tl_b.g))
+    np.testing.assert_array_equal(np.asarray(tl_a.f), np.asarray(tl_b.f))
+    np.testing.assert_array_equal(np.asarray(tl_a.cursor),
+                                  np.asarray(tl_b.cursor))
+
+
+def test_packed_step_absent_on_sharded_server(setup):
+    """The flat packed layout can't row-shard; mesh servers must fall
+    back to the 3-arg program (the native tick loop keys on this)."""
+    import jax.sharding as shd
+
+    cfg, variables, _ = setup
+    devs = jax.devices()[:2]
+    mesh = jax.sharding.Mesh(np.array(devs).reshape(2), ("data",))
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                 chunk_patches=4, mesh=mesh)
+    assert srv._packed_step is None
+    del shd

@@ -9,6 +9,7 @@ it, so the contract here is internal consistency, not an external oracle.
 """
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -553,14 +554,56 @@ def test_infer_stream_timeline_uses_ring(tmp_path, rng):
     assert all(abs(e["t_start"] - first_t) < 1e-6 for e in evs)
 
 
-def test_infer_wav_dir_rejects_timeline_flags(tmp_path, rng):
+def test_infer_wav_dir_composes_with_events_and_timeline(tmp_path, rng,
+                                                         capsys):
+    """VERDICT r3 item 4: batch event extraction over a corpus. Each
+    JSONL line gains "events", --events writes one combined artifact,
+    and --timeline DIR mirrors the corpus layout with per-clip CSVs."""
+    import json as _json
+    import wave
+
     from mla_tpu.__main__ import main
 
-    (tmp_path / "clips").mkdir()
-    with pytest.raises(SystemExit, match="per-clip"):
-        main(["infer", "--config=esc50_single_attention",
-              "--wav_dir", str(tmp_path / "clips"), "--checkpoint=random",
-              "--events", str(tmp_path / "ev.json")])
+    sr = 16000
+    for name, secs in [("a.wav", 2.0), ("sub/b.wav", 3.0)]:
+        p = tmp_path / "clips" / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        x = (0.3 * rng.standard_normal(int(sr * secs))).astype(np.float32)
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes((x * 32767).astype("<i2").tobytes())
+    ev_path = tmp_path / "ev.json"
+    tl_dir = tmp_path / "timelines"
+    main(["infer", "--config=esc50_single_attention",
+          "--wav_dir", str(tmp_path / "clips"), "--checkpoint=random",
+          "--top_k=2", "--event_threshold=0.0",
+          "--events", str(ev_path), "--timeline", str(tl_dir)])
+    lines = [_json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 2
+    for ln in lines:
+        # threshold 0: one full-window event per top-k class
+        assert len(ln["events"]) == 2
+        assert all("t_start" in e and "label" in e for e in ln["events"])
+    combined = _json.loads(ev_path.read_text())
+    assert set(combined["clips"]) == {"a.wav", os.path.join("sub", "b.wav")}
+    assert combined["clips"]["a.wav"] == lines[0]["events"]
+    assert combined["threshold"] == 0.0
+    # per-clip CSVs mirror the corpus layout
+    assert (tl_dir / "a.timeline.csv").exists()
+    assert (tl_dir / "sub" / "b.timeline.csv").exists()
+    header = (tl_dir / "a.timeline.csv").read_text().splitlines()[0]
+    assert header.startswith("patch,time_s,prob:")
+
+    # events-only mode with "-" skips the combined artifact
+    main(["infer", "--config=esc50_single_attention",
+          "--wav_dir", str(tmp_path / "clips"), "--checkpoint=random",
+          "--top_k=1", "--event_threshold=0.0", "--events", "-"])
+    lines2 = [_json.loads(ln) for ln in
+              capsys.readouterr().out.strip().splitlines()]
+    assert all(len(ln["events"]) == 1 for ln in lines2)
 
 
 def test_timeline_consistent_under_concurrent_feeds(rng):
