@@ -266,7 +266,16 @@ def adpcm2_encode(x: np.ndarray, block: int = DEFAULT_BLOCK) -> np.ndarray:
     buffer [..., wire_length(n, block, bits=2)]. Same block-interleaved
     layout as adpcm4 with 2-bit codes: per block
     ``[codes block/4 | pred0 int16-LE | index0]`` (4 codes per byte,
-    sample order from LSB)."""
+    sample order from LSB).
+
+    Quality envelope (scripts/probe_adpcm_bits.py, docs/RESULTS.md):
+    ~13-14 dB SNR on program/speech-shaped material at normal levels —
+    flagship top-1/top-5 stable — but the envelope NARROWS on quiet
+    signals: at -32 dB input level the 2-bit step floor (min delta
+    step/2+mag*step over a 7-LSB minimum step) costs several more dB
+    than adpcm4's. Prefer ``adpcm4`` for quiet or wide-dynamic-range
+    feeds; ``adpcm2`` is the rung for maximally transfer-starved links
+    carrying normal-level audio."""
     xi, lead = _as_int16_rows(x)
     xi = _pad_blocks(xi, block)
     rows, n_pad = xi.shape

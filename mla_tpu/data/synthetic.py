@@ -163,7 +163,8 @@ def synth_features(
     return x, y
 
 
-_DATASET_CLASSES = {"synthetic_esc50": 50, "synthetic_us8k": 10, "synthetic_audioset": 527}
+_DATASET_CLASSES = {"synthetic_esc50": 50, "synthetic_us8k": 10,
+                    "synthetic_audioset": 527, "synthetic_events": None}
 
 
 def _hdf5_paths(path: str):
@@ -219,7 +220,19 @@ def make_dataset(
     n = data_cfg.n_train_clips if split == "train" else data_cfg.n_eval_clips
     seed = 0 if split == "train" else 10_000
     multi = name == "synthetic_audioset"
-    if kind == "features":
+    if name == "synthetic_events":
+        # weakly-supervised SED protocol: clips are tone BURSTS with known
+        # boundaries, but train/eval splits expose only the multi-hot clip
+        # labels — the boundaries stay held out for `eval --events`
+        # (train/sed_eval.py scores on its own disjoint seed, 20_000)
+        if kind == "features":
+            raise ValueError("synthetic_events is a waveform corpus "
+                             "(trunk='none' has no patch grid to localize)")
+        x, y, _ = synth_event_waveforms(
+            n, n_classes, data_cfg.clip_seconds,
+            sample_rate=(frontend_cfg.sample_rate if frontend_cfg else 16000),
+            seed=seed)
+    elif kind == "features":
         x, y = synth_features(n, n_classes, multi_label=multi, seed=seed)
     else:
         x, y = synth_waveforms(

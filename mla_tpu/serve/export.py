@@ -339,6 +339,27 @@ class StreamingArtifact:
                              TimelineState(*tl), sid,
                              self.meta["att_activation"])
 
+    def events(self, state, sid: int = 0, threshold=0.5,
+               merge_gap_s: float = 0.0, min_dur_s: float = 0.0,
+               class_names=None):
+        """Discrete events from the ring window at the edge — the same
+        threshold / gap-merge / min-duration chain as the live service
+        (``serve.events.detect_events``, numpy-only, so this stays within
+        the artifact's jax-only dependency claim). Timestamps are on the
+        stream's absolute patch grid; a window that has outgrown
+        ``timeline_cap`` covers only the last cap patches (see the ring
+        semantics note in docs/TUTORIAL.md)."""
+        from mla_tpu.serve.events import detect_events
+
+        start_patch, levels = self.timeline(state, sid)
+        w = np.mean([wl for wl, _ in levels], axis=0)
+        f = np.mean([fl for _, fl in levels], axis=0)
+        sr = self.meta["sample_rate"]
+        hop_s = (self.meta["hop_samples"] / self.meta["chunk_patches"]) / sr
+        return detect_events(f, w, hop_s=hop_s, start_patch=start_patch,
+                             threshold=threshold, merge_gap_s=merge_gap_s,
+                             min_dur_s=min_dur_s, class_names=class_names)
+
 
 def load_exported_streaming(path: str) -> StreamingArtifact:
     from jax import export as jexport

@@ -272,7 +272,10 @@ wav = np.zeros((1, {n}), np.float32)
 state = art.chunk(state, wav)
 scores = art.finalize(state)
 start, levels = art.timeline(state)
+evs = art.events(state, threshold=0.0)
 assert scores.shape == (1, {meta["n_classes"]}), scores.shape
+assert len(evs) == {meta["n_classes"]}, len(evs)  # thr 0: one per class
+assert all(e["t_start"] == 0.0 for e in evs)
 assert "flax" not in sys.modules, "edge path imported flax"
 print("EDGE_OK")
 """

@@ -219,3 +219,26 @@ def test_evaluate_sed_with_per_class_thresholds(tmp_path, capsys):
     assert out["threshold"] == "per-class"
     assert out["merge_gap_s"] == 1.0 and out["min_dur_s"] == 1.0
     assert out["n_clips"] == 6
+
+
+def test_synthetic_events_dataset_splits():
+    """The weakly-supervised training corpus: boundaries held out, splits
+    deterministic and disjoint from the SED-eval seed."""
+    import dataclasses
+
+    from mla_tpu.config import Config
+    from mla_tpu.data.synthetic import make_dataset, synth_event_waveforms
+
+    dcfg = dataclasses.replace(Config().data, dataset="synthetic_events",
+                               n_train_clips=6, n_eval_clips=4,
+                               clip_seconds=4.0)
+    tr = make_dataset(dcfg, 5, "train")
+    ev = make_dataset(dcfg, 5, "eval")
+    assert tr.x.shape == (6, 64000) and ev.x.shape == (4, 64000)
+    assert tr.y.shape == (6, 5) and (tr.y.sum(1) >= 1).all()
+    assert not np.array_equal(tr.x[0], ev.x[0])
+    # the train split is the boundary generator's seed-0 corpus
+    x0, y0, _ = synth_event_waveforms(6, 5, 4.0, seed=0)
+    np.testing.assert_array_equal(tr.x, x0)
+    with pytest.raises(ValueError, match="waveform"):
+        make_dataset(dcfg, 5, "train", kind="features")
