@@ -269,13 +269,14 @@ def adpcm2_encode(x: np.ndarray, block: int = DEFAULT_BLOCK) -> np.ndarray:
     sample order from LSB).
 
     Quality envelope (scripts/probe_adpcm_bits.py, docs/RESULTS.md):
-    ~13-14 dB SNR on program/speech-shaped material at normal levels —
-    flagship top-1/top-5 stable — but the envelope NARROWS on quiet
-    signals: at -32 dB input level the 2-bit step floor (min delta
-    step/2+mag*step over a 7-LSB minimum step) costs several more dB
-    than adpcm4's. Prefer ``adpcm4`` for quiet or wide-dynamic-range
-    feeds; ``adpcm2`` is the rung for maximally transfer-starved links
-    carrying normal-level audio."""
+    ~14-15 dB SNR on program- and speech-shaped material, flagship
+    top-1/top-5 stable, and LEVEL-INDEPENDENT down to ~-60 dBFS (the
+    step adaptation tracks amplitude, so quantization error scales with
+    the signal). Below that — peaks within ~10 LSB of the 7-LSB step
+    floor — both rungs degrade and adpcm2 collapses first (measured
+    6.6 dB on -66 dBFS speech vs adpcm4's 17.4). Use ``adpcm4`` only
+    for near-noise-floor feeds; otherwise the envelope difference is a
+    flat ~9 dB at 1.84x less wire."""
     xi, lead = _as_int16_rows(x)
     xi = _pad_blocks(xi, block)
     rows, n_pad = xi.shape
