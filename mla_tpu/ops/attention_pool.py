@@ -217,18 +217,26 @@ def window_timeline(gate_window, prob_window, num, den, m,
 
 
 @jax.jit
-def _pack_timeline(tl, states, sid):
-    """Device-side gather of everything a timeline readout needs into TWO
-    arrays — one f32 blob (ring rows + per-level num/den/m) and one int32
-    pair (cursor, count) — so the host pays two tunnel fetches total
-    (~27 ms each here) instead of 4 + 3*n_levels separate ones."""
-    parts = [tl.g[sid].ravel(), tl.f[sid].ravel()]
-    parts += [jnp.stack([st.num[sid], st.den[sid], st.m[sid]]).ravel()
+def _pack_timeline(tl, states, sid, extra=None):
+    """Device-side gather of everything a timeline readout needs into ONE
+    f32 blob — an optional caller ``extra`` row (e.g. the stream's clip
+    scores) first, then ring rows, per-level num/den/m, and the
+    (cursor, count) int32 pair bitcast into the last two f32 lanes — so
+    the host pays a single tunnel fetch (~27 ms here) instead of
+    4 + 3*n_levels separate ones (or the 2 an earlier version paid for a
+    separate int fetch)."""
+    parts = [] if extra is None else [extra.astype(jnp.float32).ravel()]
+    parts += [tl.g[sid].astype(jnp.float32).ravel(),
+              tl.f[sid].astype(jnp.float32).ravel()]
+    parts += [jnp.stack([st.num[sid], st.den[sid], st.m[sid]])
+              .astype(jnp.float32).ravel()
               for st in states]
-    return jnp.concatenate(parts), jnp.stack([tl.cursor[sid], tl.count[sid]])
+    ints = jnp.stack([tl.cursor[sid], tl.count[sid]]).astype(jnp.int32)
+    parts.append(jax.lax.bitcast_convert_type(ints, jnp.float32))
+    return jnp.concatenate(parts)
 
 
-def read_timeline(states, tl, sid: int, att_activation: str):
+def read_timeline(states, tl, sid: int, att_activation: str, extra=None):
     """Decode one stream's localization ring against its final accumulator
     state: ``(start_patch, [(weights [T, C], probs [T, C]) per level])``,
     oldest patch first, weights via :func:`window_timeline` (globally
@@ -236,22 +244,26 @@ def read_timeline(states, tl, sid: int, att_activation: str):
     server, both HTTP tiers, and the AOT StreamingArtifact so every
     surface reads the same math — and deliberately FLAX-FREE (this module
     imports only jax/numpy) so an exported-artifact edge can read
-    timelines with just jax installed. Two on-demand device fetches (one
-    packed f32 blob ~1 MB at the flagship's cap=64, one int pair) — the
-    per-tick hot path never fetches."""
+    timelines with just jax installed. ONE on-demand device fetch (a
+    packed f32 blob ~1 MB at the flagship's cap=64, cursor/count bitcast
+    into its tail) — the per-tick hot path never fetches.
+
+    ``extra``: optional 1-D device array to ride the same fetch (the HTTP
+    tiers pass the stream's clip scores — a second ~27 ms fetch saved);
+    when given, returns ``(start_patch, levels, extra_values)``."""
     import numpy as np
 
     if tl is None:
         raise RuntimeError(
             "timeline disabled; construct with timeline_cap > 0")
-    blob, ints = _pack_timeline(tl, states, sid)
-    blob = np.asarray(blob)
-    cur, cnt = (int(v) for v in np.asarray(ints))
+    blob = np.asarray(_pack_timeline(tl, states, sid, extra))
+    k = 0 if extra is None else int(extra.shape[-1])
+    cur, cnt = (int(v) for v in blob[-2:].view(np.int32))
     cap, n_levels, c = tl.g.shape[1:]
     ring = cap * n_levels * c
-    g = blob[:ring].reshape(cap, n_levels, c)
-    f = blob[ring: 2 * ring].reshape(cap, n_levels, c)
-    st = blob[2 * ring:].reshape(n_levels, 3, c)  # [L, (num,den,m), C]
+    g = blob[k: k + ring].reshape(cap, n_levels, c)
+    f = blob[k + ring: k + 2 * ring].reshape(cap, n_levels, c)
+    st = blob[k + 2 * ring: -2].reshape(n_levels, 3, c)  # [L,(num,den,m),C]
     n = min(cnt, cap)
     idx = (cur - n + np.arange(n)) % cap  # oldest -> newest
     levels = []
@@ -260,7 +272,9 @@ def read_timeline(states, tl, sid: int, att_activation: str):
             g[idx, li], f[idx, li],
             st[li, 0], st[li, 1], st[li, 2], att_activation)
         levels.append((w, fw))
-    return cnt - n, levels
+    if extra is None:
+        return cnt - n, levels
+    return cnt - n, levels, blob[:k].copy()
 
 
 class StreamState(NamedTuple):

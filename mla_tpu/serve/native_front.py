@@ -590,7 +590,8 @@ class NativeTagServer:
         taken under ``dev`` as well as ``host_lock`` — the tick thread
         assigns states and tl as two attribute stores under ``dev``, so a
         host_lock-only reader could pair a pre-tick states with a
-        post-tick ring. Fetches run outside the locks."""
+        post-tick ring. The single combined fetch (scores ride the packed
+        timeline blob) runs outside the locks."""
         self._lib.sf_wait_drained(self._h, sid, _SYNC_TIMEOUT_MS)
         with self.dev, self.host_lock:
             self.srv._check(sid)
@@ -598,9 +599,7 @@ class NativeTagServer:
                 raise RuntimeError(f"stream {sid} has no processed audio yet")
             variables, states, tl = (self.srv.variables, self.srv.states,
                                      self.srv.tl)
-        scores = np.asarray(self.srv._finalize(variables, states))[sid]
-        start, levels = self.srv.timeline_from(states, tl, sid)
-        return scores, start, levels
+        return self.srv.timeline_with_scores_from(variables, states, tl, sid)
 
     def _tag(self, body: bytes, ctype: str, xs: Optional[int], top_k: int):
         """One-shot tag (reference C15): transient slot on the shared

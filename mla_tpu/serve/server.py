@@ -617,3 +617,17 @@ class BatchedStreamingServer:
 
         att_act, _ = stream_activations(self.cfg.model)
         return read_timeline(states, tl, sid, att_act)
+
+    def timeline_with_scores_from(self, variables, states, tl, sid: int):
+        """(scores, start_patch, levels) from a snapshot in ONE tunnel
+        fetch: the clip scores are computed on device and ride the packed
+        timeline blob (ops.attention_pool read_timeline's ``extra`` lane)
+        instead of paying a second ~27 ms finalize fetch. Both HTTP tiers'
+        timeline routes go through here."""
+        from mla_tpu.serve.streaming import read_timeline
+
+        att_act, _ = stream_activations(self.cfg.model)
+        scores_dev = self._finalize(variables, states)[sid]
+        start, levels, scores = read_timeline(states, tl, sid, att_act,
+                                              extra=scores_dev)
+        return scores, start, levels

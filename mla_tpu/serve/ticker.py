@@ -184,7 +184,8 @@ class TickLoop:
         taken under ``dev`` as well as ``cond``: the tick thread assigns
         states and tl as two attribute stores under ``dev``, so a
         cond-only reader could pair a pre-tick states with a post-tick
-        ring (weights > 1). Fetches run outside the locks."""
+        ring (weights > 1). The single combined fetch (scores ride the
+        packed timeline blob) runs outside the locks."""
         self._wait_drained(sid)
         with self.dev, self.cond:
             self.srv._check(sid)
@@ -192,9 +193,7 @@ class TickLoop:
                 raise RuntimeError(f"stream {sid} has no processed audio yet")
             variables, states, tl = (self.srv.variables, self.srv.states,
                                      self.srv.tl)
-        scores = np.asarray(self.srv._finalize(variables, states))[sid]
-        start, levels = self.srv.timeline_from(states, tl, sid)
-        return scores, start, levels
+        return self.srv.timeline_with_scores_from(variables, states, tl, sid)
 
     # --- tick thread -----------------------------------------------------
     def _n_ready(self) -> int:

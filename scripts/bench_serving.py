@@ -96,6 +96,75 @@ def bench_dtype(cfg, variables, transfer_dtype: str,
     }
 
 
+def bench_packed(cfg, variables, transfer_dtype: str,
+                 n_streams: int = N_STREAMS) -> dict:
+    """Direct drive of the ONE-UPLOAD packed tick program (the native
+    front's hot path since round 4): wav rows + active vector in one flat
+    uint8 transfer, unpacked on device. Compared same-session against
+    bench_dtype (feed() buffering + the 3-upload program) this isolates
+    what the packed layout buys at the program level, independent of the
+    HTTP tier."""
+    import jax.numpy as jnp
+
+    srv = BatchedStreamingServer(
+        cfg, variables, max_streams=n_streams, chunk_patches=CHUNK_PATCHES,
+        transfer_dtype=transfer_dtype, timeline_cap=TIMELINE_CAP,
+    )
+    assert srv._packed_step is not None, "packed program needs mesh=None"
+    sids = [srv.open() for _ in range(n_streams)]
+    rng = np.random.default_rng(0)
+    chunk = (rng.standard_normal(srv.chunk_samples) * 0.1).astype(np.float32)
+    from mla_tpu.data.audio_io import pcm16_quantize
+
+    if transfer_dtype == "int16":
+        chunk = pcm16_quantize(chunk)
+    elif transfer_dtype in ("adpcm4", "adpcm2"):
+        from mla_tpu.data import adpcm
+
+        enc = (adpcm.adpcm4_encode if transfer_dtype == "adpcm4"
+               else adpcm.adpcm2_encode)
+        chunk = enc(pcm16_quantize(chunk), block=adpcm.SERVE_BLOCK)
+    elif transfer_dtype == "uint8":
+        from mla_tpu.data.audio_io import mulaw_encode
+
+        chunk = mulaw_encode(chunk)
+    units, _ = srv._chunk_hop_units()
+    itemsize = np.dtype(srv._buf_dtype).itemsize
+    row = np.ascontiguousarray(chunk).view(np.uint8).ravel()
+    assert row.size == units * itemsize, (row.size, units, itemsize)
+    wav_bytes = n_streams * units * itemsize
+    buf = np.zeros(srv.packed_nbytes, np.uint8)
+    for s in range(n_streams):
+        buf[s * row.size: (s + 1) * row.size] = row
+    buf[wav_bytes:] = 1  # every stream active
+    srv._fed[:] = True
+    audio_s_per_tick = n_streams * CHUNK_PATCHES * (
+        cfg.frontend.example_hop_frames * cfg.frontend.hop_length
+        / cfg.frontend.sample_rate
+    )
+
+    def burst(n):
+        for _ in range(n):
+            srv.states, srv.tl = srv._packed_step(
+                srv.variables, srv.states, srv.tl, jnp.asarray(buf))
+        return srv.scores(sids[0])  # host fetch = the only real sync
+
+    burst(2)  # compile + warm
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        burst(TICKS_PER_REPEAT)
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    return {
+        "transfer_dtype": transfer_dtype,
+        "mode": "direct-packed",
+        "n_streams": n_streams,
+        "audio_seconds_per_s": TICKS_PER_REPEAT * audio_s_per_tick / med,
+        "rel_spread": float((max(times) - min(times)) / med),
+    }
+
+
 def bench_http(cfg, variables, transfer_dtype: str,
                n_streams: int = N_STREAMS, sync: bool = True,
                native: bool = False) -> dict:
@@ -308,6 +377,9 @@ def main():
                     help="patches folded per device tick (the serving "
                          "throughput/latency knob: bigger chunks amortize "
                          "the per-dispatch tunnel latency over more audio)")
+    ap.add_argument("--packed", action="store_true",
+                    help="also direct-drive the one-upload packed tick "
+                         "program and report packed_vs_direct")
     ap.add_argument("--timeline-cap", type=int, default=0,
                     help="run the servers with the on-device localization "
                          "ring enabled (expected ~free: one masked "
@@ -330,6 +402,12 @@ def main():
         if not args.http_only:
             direct = bench_dtype(cfg, variables, td, n_streams)
             rows.append(direct)
+        if args.packed:
+            p = bench_packed(cfg, variables, td, n_streams)
+            if direct is not None:
+                p["packed_vs_direct"] = round(
+                    p["audio_seconds_per_s"] / direct["audio_seconds_per_s"], 3)
+            rows.append(p)
         if args.http or args.http_only:
             fn = bench_http_cpp if args.cpp_client else bench_http
             h = fn(cfg, variables, td, n_streams,

@@ -228,6 +228,62 @@ def test_server_timeline_matches_oneshot(variant, rng):
         np.testing.assert_allclose(re, srv.scores(sid), rtol=1e-4, atol=1e-5)
 
 
+def test_timeline_with_scores_single_fetch_matches_separate(rng):
+    """The one-fetch combined readout (scores ride the packed blob via
+    read_timeline's ``extra`` lane) must equal the separate scores() +
+    timeline() readouts exactly — it is the same device state, just one
+    tunnel fetch instead of two."""
+    from mla_tpu.serve.server import BatchedStreamingServer
+    from mla_tpu.serve.streaming import _samples_per_patches
+
+    cfg, model, variables = _serve_setup("multi_level_attention", rng)
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 6)) * 0.3).astype(np.float32)
+    srv = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                 chunk_patches=3, timeline_cap=8)
+    sid = srv.open()
+    srv.feed(sid, wav)
+    srv.drain()
+    srv.flush(sid)
+
+    scores, start, levels = srv.timeline_with_scores_from(
+        srv.variables, srv.states, srv.tl, sid)
+    np.testing.assert_array_equal(scores, srv.scores(sid))
+    want_start, want_levels = srv.timeline(sid)
+    assert start == want_start
+    for (w, f), (w1, f1) in zip(levels, want_levels):
+        np.testing.assert_array_equal(w, w1)
+        np.testing.assert_array_equal(f, f1)
+
+
+def test_read_timeline_extra_lane_roundtrip(rng):
+    """read_timeline(extra=...) returns the extra row bit-exactly and does
+    not perturb the window decode (the extra rides the blob's head; the
+    cursor/count int pair rides its tail as bitcast f32)."""
+    import jax.numpy as jnp_
+
+    from mla_tpu.ops.attention_pool import (StreamState, init_timeline_state,
+                                            read_timeline,
+                                            update_timeline_state)
+
+    S, cap, L, C = 1, 4, 2, 3
+    tl = init_timeline_state(S, cap, L, C)
+    g = jnp_.asarray(rng.standard_normal((S, 2, L, C)).astype(np.float32))
+    f = jax.nn.sigmoid(g)
+    tl = update_timeline_state(tl, g, f, jnp_.ones(S, bool),
+                               jnp_.full(S, 2, jnp_.int32))
+    states = [StreamState(num=jnp_.ones((S, C)), den=jnp_.full((S, C), 2.0),
+                          m=jnp_.zeros((S, C))) for _ in range(L)]
+    extra = jnp_.asarray(np.float32([0.125, -3.5, 1e-7, 0.0, 42.0]))
+    start, levels, got = read_timeline(states, tl, 0, "exp", extra=extra)
+    np.testing.assert_array_equal(got, np.asarray(extra))
+    start0, levels0 = read_timeline(states, tl, 0, "exp")
+    assert start == start0
+    for (w, fw), (w0, fw0) in zip(levels, levels0):
+        np.testing.assert_array_equal(w, w0)
+        np.testing.assert_array_equal(fw, fw0)
+
+
 def test_server_timeline_ring_wraps_to_last_cap(rng):
     from mla_tpu.serve.server import BatchedStreamingServer
     from mla_tpu.serve.streaming import _samples_per_patches
