@@ -28,3 +28,25 @@ jax.config.update("jax_default_matmul_precision", "highest")
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+# --- quick lane (round-4 VERDICT weak item 6) -------------------------------
+# The full suite is ~25 min on this 1-core host; `pytest -m quick` is the
+# <5-min core-correctness lane (numerics, codecs, model oracles' unit peers,
+# serving logic without subprocess/multiprocess integration). The FULL suite
+# stays the merge gate. Membership is by module: integration modules that
+# spawn processes, train for many steps, or drive HTTP end-to-end are slow.
+QUICK_MODULES = {
+    "test_adpcm", "test_attention_pool", "test_audioset", "test_augment",
+    "test_convert", "test_data", "test_distributed", "test_driver_contract",
+    "test_ema", "test_events", "test_frontend", "test_golden", "test_metrics",
+    "test_pallas_frontend", "test_parallel", "test_pipeline",
+    "test_schedules_remat", "test_streaming",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(
+            pytest.mark.quick if name in QUICK_MODULES else pytest.mark.slow)
