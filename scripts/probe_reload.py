@@ -1,0 +1,122 @@
+"""Zero-downtime weight hot-reload latency under live feeds (round 4).
+
+Measures `TickLoop.reload_weights` — one device_put of the full flagship
+parameter tree + a pointer swap under the device lock, no retrace by
+construction (variables are an explicit argument of the jitted tick /
+finalize programs, server.py:568) — while 8 adpcm4 streams feed
+continuously, and again idle. Also asserts the swap is LIVE: scores
+after a reload reflect the new weights.
+
+Run EXCLUSIVELY on the real chip:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/probe_reload.py
+"""
+
+import json
+import os
+import sys
+import threading
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+from mla_tpu import get_config
+from mla_tpu.data import adpcm
+from mla_tpu.data.audio_io import pcm16_quantize
+from mla_tpu.models.zoo import build_model
+from mla_tpu.ops.frontend import waveform_to_patches
+from mla_tpu.serve.server import BatchedStreamingServer
+from mla_tpu.serve.ticker import TickLoop
+
+S = 8
+RELOADS = 10
+
+# MLA_PROBE_SMOKE=1: tiny config + minimal reps so the code path can be
+# verified on CPU while the tunnel is down; numbers are meaningless there.
+SMOKE = os.environ.get("MLA_PROBE_SMOKE") == "1"
+
+
+def main():
+    global RELOADS
+    if SMOKE:
+        jax.config.update("jax_platforms", "cpu")
+        RELOADS = 2
+        cfg = get_config("audioset_full_dp",
+                         overrides={"model.conv_channels": "8,16",
+                                    "model.n_classes": "12"})
+    else:
+        cfg = get_config("audioset_full_dp")
+    model = build_model(cfg.model)
+    wav0 = np.zeros(16000 * 2, np.float32)
+    patches = waveform_to_patches(jax.numpy.asarray(wav0)[None], cfg.frontend)
+    variables = model.init(jax.random.key(0), patches)
+    n_params = sum(x.size for x in jax.tree.leaves(variables))
+
+    srv = BatchedStreamingServer(cfg, variables, max_streams=S,
+                                 chunk_patches=10, transfer_dtype="adpcm4")
+    loop = TickLoop(srv)
+    sids = [loop.open() for _ in range(S)]
+    rng = np.random.default_rng(0)
+    chunk = adpcm.adpcm4_encode(
+        pcm16_quantize((rng.standard_normal(srv.chunk_samples) * 0.1)
+                       .astype(np.float32)), block=adpcm.SERVE_BLOCK)
+    loop.feed(sids[0], chunk)  # compile + warm the tick program
+    loop.scores(sids[0])
+
+    # the reload payload: a genuinely different host-side tree (what the
+    # auto-reload watcher hands over after an Orbax restore)
+    host_vars = jax.tree.map(lambda x: np.asarray(x) * 1.001, variables)
+
+    stop = threading.Event()
+
+    def feeder(sid):
+        while not stop.is_set():
+            loop.feed(sid, chunk, sync=False, max_backlog=4)
+
+    threads = [threading.Thread(target=feeder, args=(sid,), daemon=True)
+               for sid in sids]
+    for t in threads:
+        t.start()
+    time.sleep(2.0)  # reach steady-state ticking
+
+    live_ms = []
+    for _ in range(RELOADS):
+        t0 = time.perf_counter()
+        loop.reload_weights(host_vars)
+        live_ms.append((time.perf_counter() - t0) * 1e3)
+        time.sleep(0.3)
+    stop.set()
+    for t in threads:
+        t.join(timeout=10)
+
+    idle_ms = []
+    for _ in range(RELOADS):
+        t0 = time.perf_counter()
+        loop.reload_weights(host_vars)
+        idle_ms.append((time.perf_counter() - t0) * 1e3)
+
+    # the swap must be live: new weights change the scores
+    before = loop.scores(sids[0])
+    bumped = jax.tree.map(lambda x: np.asarray(x) * 1.5, variables)
+    loop.reload_weights(bumped)
+    after = loop.scores(sids[0])
+    assert not np.array_equal(before, after), "reload did not take effect"
+
+    loop.stop()
+    print(json.dumps({
+        "metric": "reload_ms",
+        "live_median_ms": round(float(np.median(live_ms)), 1),
+        "live_max_ms": round(float(np.max(live_ms)), 1),
+        "idle_median_ms": round(float(np.median(idle_ms)), 1),
+        "n_params": int(n_params),
+        "streams": S, "reloads": RELOADS,
+        "swap_live": True,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
