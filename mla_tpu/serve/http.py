@@ -195,7 +195,9 @@ class _TaggerState:
         )
         # compile the tick/finalize programs before traffic: a cold first
         # tick at high max_streams can outlast the 120 s sync-feed wait
-        self.server.warmup()
+        # (packed=True: TickLoop's hot path is the one-upload packed tick
+        # whenever the server is unsharded)
+        self.server.warmup(packed=True)
         self.ticker = TickLoop(self.server, batch_grace=batch_grace)
         self.labels = labels_for(cfg.data.dataset, cfg.model.n_classes)
 

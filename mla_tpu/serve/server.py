@@ -264,6 +264,11 @@ class BatchedStreamingServer:
             itemsize = np.dtype(self._buf_dtype).itemsize
             wav_bytes = self.S * units * itemsize
             self.packed_nbytes = wav_bytes + self.S
+            # one wire-silence row, as bytes — gather_ready_packed blanks
+            # inactive rows with it (ring buffers rotate, so a row may
+            # hold stale audio from RING_DEPTH ticks ago)
+            self._blank_row_u8 = np.ascontiguousarray(
+                self._blank_tile()[0]).view(np.uint8)
             jdt = jnp.dtype(self._buf_dtype)
 
             def packed_step(variables, states, tl, packed):
@@ -487,6 +492,35 @@ class BatchedStreamingServer:
                 wav[sid] = self._bufs[sid][:cw]
                 self._bufs[sid] = self._bufs[sid][hw:]
         return wav, active
+
+    def gather_ready_packed(self, out: np.ndarray):
+        """``gather_ready`` writing straight into the ONE-UPLOAD layout.
+
+        Fills ``out`` (uint8, ``packed_nbytes``) with ``[S rows of wire
+        chunk bytes][S active bytes]`` — exactly what ``_packed_step``
+        unpacks on device — and advances the ready buffers. Returns the
+        active bool vector, or None if no stream has a full chunk.
+        Inactive rows are wire silence (their folds are masked on device,
+        but the bitcast still reads the bytes). Unsharded servers only
+        (``_packed_step is not None``): the flat layout can't row-shard."""
+        cw, hw = self._chunk_hop_units()
+        row_bytes = cw * np.dtype(self._buf_dtype).itemsize
+        wav_bytes = self.S * row_bytes
+        active = np.array(
+            [b is not None and len(b) >= cw for b in self._bufs]
+        )
+        if not active.any():
+            return None
+        rows = out[:wav_bytes].reshape(self.S, row_bytes)
+        for sid in range(self.S):
+            if active[sid]:
+                rows[sid] = np.ascontiguousarray(
+                    self._bufs[sid][:cw]).view(np.uint8)
+                self._bufs[sid] = self._bufs[sid][hw:]
+            else:
+                rows[sid] = self._blank_row_u8
+        out[wav_bytes:] = active
+        return active
 
     def tick(self) -> int:
         """Process one chunk for every stream that has one ready; returns the

@@ -39,6 +39,7 @@ import threading
 import time
 from typing import Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from mla_tpu.serve.server import BatchedStreamingServer
@@ -199,8 +200,28 @@ class TickLoop:
     def _n_ready(self) -> int:
         return sum(self.srv.chunks_ready(s) > 0 for s in range(self.srv.S))
 
+    # staging ring depth for the packed path: a buffer is reused only
+    # after RING_DEPTH-1 more ticks, giving an async host->device
+    # transfer that long to complete before its memory is rewritten
+    # (block_until_ready is a no-op on this platform — reuse distance
+    # stands in for the missing completion signal; same rationale as
+    # native_front.RING_DEPTH).
+    RING_DEPTH = 8
+
     def _run(self):
         srv = self.srv
+        # packed hot path (VERDICT r4 item 3, stdlib tier): gather every
+        # ready stream straight into ONE flat uint8 buffer and dispatch
+        # the one-upload packed tick — replaces the 3-transfer
+        # _put_batch handoff (~4 ms/tick of jnp.asarray on this 1-core
+        # host; 3 small uploads measured far slower than 1, CLAUDE.md).
+        # Sharded servers keep the 3-arg program (flat layout can't
+        # row-shard).
+        packed = srv._packed_step is not None
+        if packed:
+            ring = [np.zeros(srv.packed_nbytes, np.uint8)
+                    for _ in range(self.RING_DEPTH)]
+            k = 0
         while True:
             with self.cond:
                 while not self._stop and self._n_ready() == 0:
@@ -217,17 +238,30 @@ class TickLoop:
                         self.cond.wait(deadline - time.monotonic())
                     if self._stop:
                         return
-                g = srv.gather_ready()
-                if g is None:
-                    continue
-                wav, active = g
+                if packed:
+                    buf = ring[k]
+                    active = srv.gather_ready_packed(buf)
+                    if active is None:
+                        continue
+                else:
+                    g = srv.gather_ready()
+                    if g is None:
+                        continue
+                    wav, active = g
                 self._dispatching = True
             # upload outside both locks (the slow, transfer-bound part)
-            n_valid = np.full(srv.S, srv.chunk_patches, np.int32)
-            dev_args = srv._put_batch(wav, active, n_valid)
-            with self.dev:
-                srv.states, srv.tl = srv._batched_step(
-                    srv.variables, srv.states, srv.tl, *dev_args)
+            if packed:
+                dev_buf = jnp.asarray(buf)
+                with self.dev:
+                    srv.states, srv.tl = srv._packed_step(
+                        srv.variables, srv.states, srv.tl, dev_buf)
+                k = (k + 1) % self.RING_DEPTH
+            else:
+                n_valid = np.full(srv.S, srv.chunk_patches, np.int32)
+                dev_args = srv._put_batch(wav, active, n_valid)
+                with self.dev:
+                    srv.states, srv.tl = srv._batched_step(
+                        srv.variables, srv.states, srv.tl, *dev_args)
             with self.cond:
                 srv._fed |= active
                 self._dispatching = False

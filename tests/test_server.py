@@ -336,6 +336,45 @@ def test_packed_tick_matches_three_arg_program(setup, wire):
                                   np.asarray(tl_b.cursor))
 
 
+@pytest.mark.parametrize("wire", ["float32", "adpcm4"])
+def test_gather_ready_packed_matches_gather_ready(setup, wire):
+    """gather_ready_packed must fill the one-upload layout with exactly
+    the rows/active gather_ready would produce, blank STALE ring content
+    in inactive rows with wire silence, and advance the stream buffers
+    identically (the stdlib TickLoop's packed hot path rides this)."""
+    cfg, variables, wav = setup
+    mk = lambda: BatchedStreamingServer(  # noqa: E731
+        cfg, variables, max_streams=3, chunk_patches=4, transfer_dtype=wire)
+    a, b = mk(), mk()
+    units, _ = a._chunk_hop_units()
+    row_bytes = units * np.dtype(a._buf_dtype).itemsize
+    wav_bytes = a.S * row_bytes
+    n = _samples_for_chunks(cfg, 4, 1) + 777  # 1 chunk + a partial tail
+    for srv in (a, b):
+        for sid, g in zip((srv.open(), srv.open(), srv.open()),
+                          (1.0, 0.0, 0.5)):
+            if g:
+                srv.feed(sid, (wav[:n] * g).astype(np.float32))
+    # stream 1 fed nothing -> inactive; simulate a reused ring buffer by
+    # pre-filling with garbage that MUST be overwritten
+    out = np.full(a.packed_nbytes, 0xAB, np.uint8)
+    active_p = a.gather_ready_packed(out)
+    wav_g, active_g = b.gather_ready()
+    np.testing.assert_array_equal(active_p, active_g)
+    np.testing.assert_array_equal(
+        out[:wav_bytes].reshape(a.S, row_bytes),
+        np.ascontiguousarray(wav_g).view(np.uint8).reshape(a.S, row_bytes))
+    np.testing.assert_array_equal(out[wav_bytes:], active_g.astype(np.uint8))
+    for sid in range(3):  # buffers advanced the same way
+        np.testing.assert_array_equal(a._bufs[sid], b._bufs[sid])
+    assert a.gather_ready_packed(out) is None  # tails < 1 chunk remain
+
+
+def _samples_for_chunks(cfg, chunk_patches, n_chunks):
+    from mla_tpu.serve.streaming import _samples_per_patches
+    return _samples_per_patches(cfg.frontend, chunk_patches * n_chunks)
+
+
 def test_packed_step_absent_on_sharded_server(setup):
     """The flat packed layout can't row-shard; mesh servers must fall
     back to the 3-arg program (the native tick loop keys on this)."""
