@@ -273,9 +273,10 @@ def cmd_infer(args):
         return
     if not args.wav:
         raise SystemExit("infer: one of --wav / --wav_dir is required")
+    from mla_tpu.ops.frontend import patch_hop_seconds
+
     wav = audio_io.load_wav_16k(args.wav, cfg.frontend.sample_rate)
-    hop_s = (cfg.frontend.example_hop_frames * cfg.frontend.hop_length
-             / cfg.frontend.sample_rate)
+    hop_s = patch_hop_seconds(cfg.frontend)
     start_patch = 0
     if args.stream:
         # --stream exists for O(1)-memory long-form audio, so the timeline
@@ -339,10 +340,11 @@ def _infer_dir(args, cfg, variables):
         raise SystemExit(f"infer: no .wav files under {args.wav_dir}")
     names = labels_for(cfg.data.dataset, cfg.model.n_classes, args.labels_csv)
     threshold = _resolve_threshold(args, names) if args.events else None
+    from mla_tpu.ops.frontend import patch_hop_seconds
+
     if args.timeline:
         os.makedirs(args.timeline, exist_ok=True)
-    hop_s = (cfg.frontend.example_hop_frames * cfg.frontend.hop_length
-             / cfg.frontend.sample_rate)
+    hop_s = patch_hop_seconds(cfg.frontend)
     tagger = StreamingTagger(
         cfg, variables, timeline_cap=args.timeline_cap if want_tl else 0)
     block = 10 * cfg.frontend.sample_rate
@@ -387,9 +389,7 @@ def _infer_dir(args, cfg, variables):
     if args.events and args.events != "-":
         with open(args.events, "w") as fh:
             json.dump({"hop_s": hop_s,
-                       "threshold": (args.event_threshold
-                                     if np.ndim(threshold) == 0 else
-                                     f"per-class ({args.thresholds})"),
+                       "threshold": _threshold_desc(args),
                        "clips": all_events}, fh, indent=1)
         print(f"# events: {sum(len(v) for v in all_events.values())} over "
               f"{len(all_events)} clips -> {args.events}", file=sys.stderr)
@@ -432,6 +432,15 @@ def _write_timeline_csv(path, start_patch, hop_s, col_names, probs, atts):
           f"classes -> {path}", file=sys.stderr)
 
 
+def _threshold_desc(args):
+    """The operating point recorded in event artifacts: the scalar
+    --event_threshold, or the provenance of a per-class --thresholds
+    table (ONE definition — infer, --wav_dir, and tag must agree on how
+    they describe their own output)."""
+    t = getattr(args, "thresholds", None)
+    return f"per-class ({t})" if t else args.event_threshold
+
+
 def _resolve_threshold(args, names):
     """The event operating point: the scalar --event_threshold, or the
     per-class table from ``eval --calibrate`` via --thresholds (one
@@ -464,9 +473,7 @@ def _write_events(w, f, hop_s, start_patch, top, names, args):
         class_names=names, classes=[int(i) for i in top])
     with open(args.events, "w") as fh:
         json.dump({"hop_s": hop_s,
-                   "threshold": (args.event_threshold
-                                 if np.ndim(threshold) == 0 else
-                                 f"per-class ({args.thresholds})"),
+                   "threshold": _threshold_desc(args),
                    "events": events}, fh, indent=1)
     print(f"# events: {len(events)} -> {args.events}", file=sys.stderr)
 
@@ -788,10 +795,7 @@ def cmd_tag(args):
                 merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur)
             with open(args.events, "w") as fh:
                 json.dump({"hop_s": tl["hop_s"],
-                           "threshold": (args.event_threshold
-                                         if not getattr(args, "thresholds",
-                                                        None) else
-                                         f"per-class ({args.thresholds})"),
+                           "threshold": _threshold_desc(args),
                            "events": events}, fh, indent=1)
             print(f"# events: {len(events)} -> {args.events}",
                   file=sys.stderr)

@@ -284,3 +284,10 @@ def patches_per_clip(n_samples: int, cfg: FrontendConfig = FrontendConfig()) -> 
     """Static patch count for an n_samples-long clip (shape planning)."""
     num_frames = 1 + (n_samples - cfg.window_length) // cfg.hop_length
     return 1 + (num_frames - cfg.example_window_frames) // cfg.example_hop_frames
+
+
+def patch_hop_seconds(cfg: FrontendConfig = FrontendConfig()) -> float:
+    """Seconds between consecutive patch starts (0.96 s at the VGGish
+    grid) — the timeline's native time base. ONE definition: event
+    timestamps in infer/eval/serve must all derive hop_s from here."""
+    return cfg.example_hop_frames * cfg.hop_length / cfg.sample_rate

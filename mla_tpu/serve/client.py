@@ -143,6 +143,21 @@ class TagClient:
                 self._local.conn = conn
             try:
                 conn.request(method, path, body=body, headers=headers)
+            except (ConnectionResetError, BrokenPipeError):
+                # SEND-phase failure: the request body was not fully
+                # delivered, so the server cannot have processed it
+                # (Content-Length framing — a handler reads the whole
+                # body before acting). Safe to retry ANY method; this is
+                # the common idle-reap case (native front reaps
+                # keep-alive connections after IDLE_TIMEOUT_S).
+                self.close()
+                if attempt:
+                    raise
+                continue
+            except Exception:
+                self.close()  # unknown connection state: don't reuse
+                raise
+            try:
                 resp = conn.getresponse()
                 raw = resp.read()
             except http.client.RemoteDisconnected:
@@ -154,10 +169,10 @@ class TagClient:
                     raise
                 continue
             except (ConnectionResetError, BrokenPipeError):
-                # a reset can arrive AFTER the server processed the
-                # request but before the reply was read — retrying a
-                # non-idempotent POST (e.g. a stream audio feed) would
-                # duplicate its effect. Retry only idempotent GETs.
+                # RESPONSE-phase reset: can arrive AFTER the server
+                # processed the request but before the reply was read —
+                # retrying a non-idempotent POST (e.g. a stream audio
+                # feed) would duplicate its effect. Retry only GETs.
                 self.close()
                 if attempt or method != "GET":
                     raise

@@ -158,8 +158,9 @@ def _timeline_payload(cfg, labels, start_patch, levels, scores,
     order = np.argsort(-scores)[:top_k]
     w = np.mean([wl for wl, _ in levels], axis=0)  # [T, C]
     f = np.mean([fl for _, fl in levels], axis=0)
-    fcfg = cfg.frontend
-    hop_s = fcfg.example_hop_frames * fcfg.hop_length / fcfg.sample_rate
+    from mla_tpu.ops.frontend import patch_hop_seconds
+
+    hop_s = patch_hop_seconds(cfg.frontend)
     return {
         "start_patch": int(start_patch),
         "hop_s": hop_s,
@@ -275,6 +276,11 @@ class _Handler(BaseHTTPRequestHandler):
         return n if n >= 0 else None
 
     def do_GET(self):
+        # no GET route reads a body, but a raw client MAY send one
+        # (Content-Length on GET is legal); unread bytes would desync
+        # keep-alive exactly like an unconsumed POST body — let _reply's
+        # guard close the connection in that case
+        self._body_consumed = False
         st = self.state
         if self.path.startswith("/v1/healthz"):
             open_n = st.ticker.open_streams()

@@ -279,14 +279,6 @@ class NativeTagServer:
             self._h = None
 
     # --- device tick thread ----------------------------------------------
-    # staging ring depth: a buffer is reused only after RING_DEPTH-1 more
-    # gathers, so an async host->device transfer has that many ticks
-    # (~60-130 ms at measured tick times) to complete before its memory
-    # is overwritten. This platform's block_until_ready is a no-op, so
-    # there is no completion signal to wait on; the ring replaces the
-    # round-3 1.05 ms/tick defensive copy with reuse distance.
-    RING_DEPTH = 8
-
     def _tick_loop(self):
         srv = self.srv
         lib = self._lib
@@ -298,17 +290,20 @@ class NativeTagServer:
             # buffer ([S*chunk_bytes wire][S active]) — the exact layout
             # the one-upload packed tick program unpacks on device. Zero
             # Python-side copies; one jnp.asarray per tick instead of a
-            # copy + three transfers.
-            ring = [np.zeros(srv.packed_nbytes, np.uint8)
-                    for _ in range(self.RING_DEPTH)]
+            # copy + three transfers. The buffer is FRESH per tick and
+            # never mutated after jnp.asarray: safe under either PJRT
+            # host-buffer semantics (sync copy, or borrow-until-transfer-
+            # completes — jax holds a reference until done). A rotating
+            # ring is NOT safe: under backlog ticks dispatch back-to-back
+            # (dispatch is async; block_until_ready is a no-op here), so
+            # a fixed-depth slot can be rewritten by sf_wait_gather while
+            # its upload is still in flight. sf_wait_gather writes EVERY
+            # byte (blank rows for inactive streams) — np.empty is fine.
             u8p = ctypes.POINTER(ctypes.c_uint8)
-            ptrs = [(b.ctypes.data_as(u8p),
-                     ctypes.cast(b.ctypes.data + wav_bytes, u8p))
-                    for b in ring]
-            k = 0
             while not self._closing:
-                buf = ring[k]
-                wav_p, act_p = ptrs[k]
+                buf = np.empty(srv.packed_nbytes, np.uint8)
+                wav_p = buf.ctypes.data_as(u8p)
+                act_p = ctypes.cast(buf.ctypes.data + wav_bytes, u8p)
                 n = lib.sf_wait_gather(self._h, wav_p, act_p, 200)
                 if n < 0:
                     return
@@ -316,13 +311,13 @@ class NativeTagServer:
                     continue
                 active = buf[wav_bytes:].astype(bool)
                 dev_buf = jnp.asarray(buf)
+                del buf  # jax owns the last reference from here on
                 with self.dev:
                     srv.states, srv.tl = srv._packed_step(
                         srv.variables, srv.states, srv.tl, dev_buf)
                 with self.host_lock:
                     srv._fed |= active
                 lib.sf_tick_done(self._h)
-                k = (k + 1) % self.RING_DEPTH
             return
         # sharded server: the flat packed layout can't row-shard, so the
         # mesh path keeps the 3-arg program (and the defensive copy — the

@@ -265,8 +265,9 @@ class BatchedStreamingServer:
             wav_bytes = self.S * units * itemsize
             self.packed_nbytes = wav_bytes + self.S
             # one wire-silence row, as bytes — gather_ready_packed blanks
-            # inactive rows with it (ring buffers rotate, so a row may
-            # hold stale audio from RING_DEPTH ticks ago)
+            # inactive rows with it (staging buffers are np.empty, so an
+            # unwritten row would be garbage; the bitcast reads every
+            # byte even though inactive folds are masked on device)
             self._blank_row_u8 = np.ascontiguousarray(
                 self._blank_tile()[0]).view(np.uint8)
             jdt = jnp.dtype(self._buf_dtype)

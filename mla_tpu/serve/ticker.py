@@ -200,14 +200,6 @@ class TickLoop:
     def _n_ready(self) -> int:
         return sum(self.srv.chunks_ready(s) > 0 for s in range(self.srv.S))
 
-    # staging ring depth for the packed path: a buffer is reused only
-    # after RING_DEPTH-1 more ticks, giving an async host->device
-    # transfer that long to complete before its memory is rewritten
-    # (block_until_ready is a no-op on this platform — reuse distance
-    # stands in for the missing completion signal; same rationale as
-    # native_front.RING_DEPTH).
-    RING_DEPTH = 8
-
     def _run(self):
         srv = self.srv
         # packed hot path (VERDICT r4 item 3, stdlib tier): gather every
@@ -215,13 +207,17 @@ class TickLoop:
         # the one-upload packed tick — replaces the 3-transfer
         # _put_batch handoff (~4 ms/tick of jnp.asarray on this 1-core
         # host; 3 small uploads measured far slower than 1, CLAUDE.md).
-        # Sharded servers keep the 3-arg program (flat layout can't
-        # row-shard).
+        # The staging buffer is FRESH per tick and never mutated after
+        # jnp.asarray: safe under either PJRT host-buffer semantics
+        # (sync copy, or borrow-until-transfer-completes — jax holds a
+        # reference, so GC can't free it mid-transfer). A rotating ring
+        # is NOT safe here: under backlog the tick thread dispatches
+        # back-to-back (~1-2 ms apart — dispatch is async and
+        # block_until_ready is a no-op on this platform), so a depth-8
+        # ring slot can be rewritten while its upload is still in
+        # flight. gather_ready_packed writes EVERY byte (blank rows for
+        # inactive streams), so np.empty needs no zeroing.
         packed = srv._packed_step is not None
-        if packed:
-            ring = [np.zeros(srv.packed_nbytes, np.uint8)
-                    for _ in range(self.RING_DEPTH)]
-            k = 0
         while True:
             with self.cond:
                 while not self._stop and self._n_ready() == 0:
@@ -239,7 +235,7 @@ class TickLoop:
                     if self._stop:
                         return
                 if packed:
-                    buf = ring[k]
+                    buf = np.empty(srv.packed_nbytes, np.uint8)
                     active = srv.gather_ready_packed(buf)
                     if active is None:
                         continue
@@ -252,10 +248,10 @@ class TickLoop:
             # upload outside both locks (the slow, transfer-bound part)
             if packed:
                 dev_buf = jnp.asarray(buf)
+                del buf  # never touched again — jax owns the last reference
                 with self.dev:
                     srv.states, srv.tl = srv._packed_step(
                         srv.variables, srv.states, srv.tl, dev_buf)
-                k = (k + 1) % self.RING_DEPTH
             else:
                 n_valid = np.full(srv.S, srv.chunk_patches, np.int32)
                 dev_args = srv._put_batch(wav, active, n_valid)

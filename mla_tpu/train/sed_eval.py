@@ -95,10 +95,15 @@ def evaluate_sed(
     from mla_tpu.utils.metrics import (events_to_segment_grid,
                                        segment_event_metrics)
 
+    from mla_tpu.ops.frontend import patch_hop_seconds
+
     n_clips = n_clips if n_clips is not None else cfg.data.n_eval_clips
+    if n_clips <= 0:
+        raise ValueError(f"evaluate_sed needs at least one clip "
+                         f"(n_clips={n_clips})")
     c = cfg.model.n_classes
     sr = cfg.frontend.sample_rate
-    hop_s = cfg.frontend.example_hop_frames * cfg.frontend.hop_length / sr
+    hop_s = patch_hop_seconds(cfg.frontend)
     seg_s = segment_s if segment_s is not None else hop_s
     x, _, ref_events = synth_event_waveforms(
         n_clips, c, cfg.data.clip_seconds, sr, seed=seed,

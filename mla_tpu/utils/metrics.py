@@ -211,6 +211,8 @@ def segment_event_metrics(ref_grids, est_grids) -> Dict[str, float]:
     if len(ref_grids) != len(est_grids):
         raise ValueError(f"{len(ref_grids)} reference clips vs "
                          f"{len(est_grids)} estimated")
+    if len(ref_grids) == 0:
+        raise ValueError("no clips to score (empty grid lists)")
     tp = fp = fn = 0
     s_sum = d_sum = i_sum = 0
     n_ref = 0

@@ -102,9 +102,13 @@ def run_step(name, argv, timeout_s, summary):
     jlines = []
     try:
         with open(log_path) as fh:
-            jlines = [json.loads(l) for l in fh
-                      if l.startswith("{") and l.rstrip().endswith("}")]
-    except (json.JSONDecodeError, OSError):
+            for l in fh:
+                if l.startswith("{") and l.rstrip().endswith("}"):
+                    try:  # per-line: a dict-repr log line must not
+                        jlines.append(json.loads(l))  # discard real JSON
+                    except json.JSONDecodeError:
+                        pass
+    except OSError:
         pass
     summary[name] = {"status": "ok" if rc == 0 else
                      ("timeout" if rc == -1 else f"rc={rc}"),

@@ -57,19 +57,15 @@ class ProbedServer(native_front.NativeTagServer):
         ph = self.ph
         if srv._packed_step is not None and not self.legacy:
             # packed hot path: C++ gather writes wire rows + active vector
-            # straight into one rotating flat uint8 staging buffer; one
+            # straight into one FRESH flat uint8 staging buffer per tick
+            # (never mutated after jnp.asarray — see native_front); one
             # jnp.asarray per tick ("put"), no Python copy phase
-            ring = [np.zeros(srv.packed_nbytes, np.uint8)
-                    for _ in range(self.RING_DEPTH)]
             u8p = ctypes.POINTER(ctypes.c_uint8)
-            ptrs = [(b.ctypes.data_as(u8p),
-                     ctypes.cast(b.ctypes.data + wav_bytes, u8p))
-                    for b in ring]
-            k = 0
             while not self._closing:
                 t0 = time.perf_counter()
-                buf = ring[k]
-                wav_p, act_p = ptrs[k]
+                buf = np.empty(srv.packed_nbytes, np.uint8)
+                wav_p = buf.ctypes.data_as(u8p)
+                act_p = ctypes.cast(buf.ctypes.data + wav_bytes, u8p)
                 n = lib.sf_wait_gather(self._h, wav_p, act_p, 200)
                 t1 = time.perf_counter()
                 if n < 0:
@@ -94,7 +90,6 @@ class ProbedServer(native_front.NativeTagServer):
                 ph["step"] += t4 - t3
                 ph["ack"] += t5 - t4
                 ph["n"] += 1
-                k = (k + 1) % self.RING_DEPTH
             return
         wav_buf = np.empty(wav_bytes, np.uint8)
         act_buf = np.zeros(srv.S, np.uint8)

@@ -164,25 +164,34 @@ def test_error_mapping(setup):
         srv.shutdown()
 
 
-def test_reset_retry_is_get_only(monkeypatch):
-    """ADVICE r3: a ConnectionResetError/BrokenPipeError can arrive AFTER
-    the server processed a POST (e.g. a stream audio feed) — retrying
-    would duplicate its effect. Only idempotent GETs retry on reset;
-    RemoteDisconnected (request provably unprocessed) retries either way."""
+def test_reset_retry_phase_policy(monkeypatch):
+    """ADVICE r3 + r4 review: the retry policy is PHASE-based. A reset
+    raised while SENDING (conn.request) means the body never fully
+    reached the server (Content-Length framing — a handler reads the
+    whole body before acting), so ANY method retries once: this is the
+    common idle-reap case (native front reaps keep-alive connections).
+    A reset raised while READING THE REPLY (getresponse/read) can arrive
+    after the server processed the request — only idempotent GETs retry.
+    RemoteDisconnected (reply-phase, request provably unprocessed)
+    retries for any method."""
     import http.client as hc
 
     from mla_tpu.serve import client as clmod
 
     attempts = []
 
-    def make_fake(exc):
+    def make_fake(send_exc=None, resp_exc=None):
         class FakeConn:
             def __init__(self, *a, **k):
                 pass
 
             def request(self, method, path, body=None, headers=None):
                 attempts.append((method, path))
-                raise exc
+                if send_exc is not None:
+                    raise send_exc
+
+            def getresponse(self):
+                raise resp_exc
 
             def close(self):
                 pass
@@ -191,32 +200,52 @@ def test_reset_retry_is_get_only(monkeypatch):
 
     c = clmod.TagClient("http://127.0.0.1:1")
 
-    # reset on GET: retried once (2 attempts), then surfaces
-    monkeypatch.setattr(hc, "HTTPConnection", make_fake(ConnectionResetError()))
+    # SEND-phase reset on POST: retried once (request never delivered)
+    monkeypatch.setattr(hc, "HTTPConnection",
+                        make_fake(send_exc=ConnectionResetError()))
+    with pytest.raises(ConnectionResetError):
+        c._request("POST", "/v1/streams/0/audio", b"x")
+    assert len(attempts) == 2
+
+    # SEND-phase broken pipe on POST: same
+    attempts.clear()
+    c.close()
+    monkeypatch.setattr(hc, "HTTPConnection",
+                        make_fake(send_exc=BrokenPipeError()))
+    with pytest.raises(BrokenPipeError):
+        c._request("POST", "/v1/streams/0/audio", b"x")
+    assert len(attempts) == 2
+
+    # RESPONSE-phase reset on GET: retried once, then surfaces
+    attempts.clear()
+    c.close()
+    monkeypatch.setattr(hc, "HTTPConnection",
+                        make_fake(resp_exc=ConnectionResetError()))
     with pytest.raises(ConnectionResetError):
         c._request("GET", "/v1/healthz")
     assert len(attempts) == 2
 
-    # reset on POST: NOT retried (may have been processed server-side)
+    # RESPONSE-phase reset on POST: NOT retried (may have been processed)
     attempts.clear()
     c.close()
     with pytest.raises(ConnectionResetError):
         c._request("POST", "/v1/streams/0/audio", b"x")
     assert len(attempts) == 1
 
-    # broken pipe on POST: same
+    # RESPONSE-phase broken pipe on POST: same
     attempts.clear()
     c.close()
-    monkeypatch.setattr(hc, "HTTPConnection", make_fake(BrokenPipeError()))
+    monkeypatch.setattr(hc, "HTTPConnection",
+                        make_fake(resp_exc=BrokenPipeError()))
     with pytest.raises(BrokenPipeError):
         c._request("POST", "/v1/streams/0/audio", b"x")
     assert len(attempts) == 1
 
-    # stale keep-alive (RemoteDisconnected) on POST: retried once
+    # stale keep-alive (RemoteDisconnected at reply) on POST: retried once
     attempts.clear()
     c.close()
     monkeypatch.setattr(hc, "HTTPConnection",
-                        make_fake(hc.RemoteDisconnected()))
+                        make_fake(resp_exc=hc.RemoteDisconnected()))
     with pytest.raises(hc.RemoteDisconnected):
         c._request("POST", "/v1/streams/0/audio", b"x")
     assert len(attempts) == 2

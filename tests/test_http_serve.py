@@ -382,3 +382,16 @@ def test_unread_body_closes_keepalive_cleanly(served):
             assert not r.will_close
     finally:
         conn.close()
+
+    # a GET carrying a body (legal, never read by any GET route) gets the
+    # same hygiene — r4 review: do_GET used to skip the consumed guard,
+    # leaving the bytes to desync the next keep-alive request
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.request("GET", "/v1/healthz", body=b"y" * 2048,
+                     headers={"Content-Type": "application/octet-stream"})
+        r = conn.getresponse()
+        assert json.loads(r.read())["ok"] is True
+        assert r.will_close, "server must close after an unread GET body"
+    finally:
+        conn.close()

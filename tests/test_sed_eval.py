@@ -242,3 +242,17 @@ def test_synthetic_events_dataset_splits():
     np.testing.assert_array_equal(tr.x, x0)
     with pytest.raises(ValueError, match="waveform"):
         make_dataset(dcfg, 5, "train", kind="features")
+
+
+def test_metrics_and_eval_reject_empty_input():
+    """r4 review: zero clips used to crash deep inside np.concatenate /
+    cls_tp=None arithmetic — both entry points now fail with a clear
+    message instead."""
+    from mla_tpu.config import Config
+    from mla_tpu.train.sed_eval import evaluate_sed
+    from mla_tpu.utils.metrics import segment_event_metrics
+
+    with pytest.raises(ValueError, match="no clips"):
+        segment_event_metrics([], [])
+    with pytest.raises(ValueError, match="at least one clip"):
+        evaluate_sed(Config(), None, n_clips=0)

@@ -311,7 +311,9 @@ def test_packed_tick_matches_three_arg_program(setup, wire):
     else:  # adpcm4: real wire bytes from the server's own encoder
         pcm = (rng.standard_normal(srv.chunk_samples) * 8000).astype(np.int16)
         one = srv._adpcm["encode"](pcm, block=srv._adpcm["block"])
-        rows = np.stack([one, one[::1], one]).astype(np.uint8)
+        # three DISTINCT rows (reversed middle row) so a row permutation
+        # or misoffset in the itemsize==1 packed layout can't cancel out
+        rows = np.stack([one, one[::-1], one ^ 0x5A]).astype(np.uint8)
     active = np.array([True, False, True])
 
     states_a, tl_a = srv._batched_step(
