@@ -967,7 +967,13 @@ def main(argv=None):
     ss.add_argument("--port", type=int, default=8000)
     ss.add_argument("--max_streams", type=int, default=8)
     ss.add_argument("--chunk_patches", type=int, default=5,
-                    help="patches per device tick (latency vs per-call efficiency)")
+                    help="patches per device tick: the throughput/latency "
+                         "dial. Each tick folds chunk_patches*0.96 s per "
+                         "stream, so score freshness lags by that much; "
+                         "larger values amortize the fixed per-tick "
+                         "host+dispatch cost over more audio (40 measured "
+                         "+24%% throughput vs 10 on-chip). Raise it for "
+                         "offline/bulk feeds, keep small for live audio")
     ss.add_argument("--transfer_dtype", default="int16",
                     choices=["int16", "float32", "uint8", "adpcm4", "adpcm2"],
                     help="wire/device-transfer dtype; int16 halves host->device "

@@ -492,10 +492,13 @@ void connection_loop(Server* sv, int fd) {
     if (rq.method != "GET" && rq.method != "POST" && rq.method != "DELETE") {
       // HEAD/OPTIONS/PUT/... must NOT fall through to the Python queue,
       // where the 3-way method code would alias them to DELETE and a
-      // monitoring probe could close a live stream
+      // monitoring probe could close a live stream. A body on this path
+      // is never read — keeping the connection would desync the next
+      // request on it (same hygiene as the Python tier's _reply guard).
+      bool close_conn = !rq.keep_alive || rq.content_length > 0;
       respond(fd, 501, jerr("method " + rq.method + " not supported"),
-              !rq.keep_alive);
-      if (!rq.keep_alive) break;
+              close_conn);
+      if (close_conn) break;
       continue;
     }
     if (rq.content_length > sv->max_body) {

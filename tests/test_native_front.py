@@ -276,6 +276,40 @@ def test_unknown_method_501(served):
     _req(base, "DELETE", f"/v1/streams/{sid}")
 
 
+def test_unknown_method_with_body_closes_keepalive(served):
+    """r4 review follow-up: the 501 path never reads the request body, so
+    a PUT carrying one on a keep-alive connection must get Connection:
+    close — otherwise the unread bytes desync the NEXT request on the
+    socket (same hygiene as the Python tier's _reply guard)."""
+    import http.client
+
+    _, _, _, base = served
+    host, port = base.replace("http://", "").split(":")
+
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        conn.request("PUT", "/v1/streams/0", body=b"x" * 1024,
+                     headers={"Content-Type": "application/octet-stream"})
+        r = conn.getresponse()
+        r.read()
+        assert r.status == 501
+        assert r.will_close, "must close after an unread 501 body"
+    finally:
+        conn.close()
+
+    # bodyless unsupported methods keep the connection alive
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    try:
+        for _ in range(2):
+            conn.request("PATCH", "/v1/streams/0")
+            r = conn.getresponse()
+            r.read()
+            assert r.status == 501
+            assert not r.will_close
+    finally:
+        conn.close()
+
+
 def test_sid_digit_overflow_404(served):
     """A >9-digit sid must 404, not wrap (atoi overflow) into a live slot."""
     _, _, _, base = served
