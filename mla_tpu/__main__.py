@@ -14,6 +14,7 @@ prep, feature extraction, train, eval, inference).
     python -m mla_tpu tag      --url=http://host:8000 --wav=a.wav (client SDK)
     python -m mla_tpu profile  --config=... --out=/tmp/trace (profiler trace)
     python -m mla_tpu parity   (reference-parity harness, T12)
+    python -m mla_tpu doctor   (environment self-check; exit 0/1/2)
     python -m mla_tpu configs
 
 (single-chip throughput benchmarks live at the repo root: bench.py,
@@ -720,6 +721,28 @@ def cmd_serve(args):
         pass
 
 
+def cmd_doctor(args):
+    """Environment self-check (SURVEY.md §5 observability row; no reference
+    analogue — its single-host script assumes a healthy machine). Prints one
+    JSON report; exit 0 = ok, 1 = degraded, 2 = no device. Encodes this
+    platform's measured failure modes (hung tunnel, no-op block_until_ready,
+    ~27 ms fetch RTT, bf16 default matmuls, non-exclusive chip)."""
+    import jax
+
+    from mla_tpu.utils import doctor
+
+    if args.platform:
+        # must land before the first backend touch; the env-var route is
+        # closed here (sitecustomize pins JAX_PLATFORMS at interpreter
+        # start — CLAUDE.md environment notes)
+        jax.config.update("jax_platforms", args.platform)
+    report = doctor.run(device_timeout_s=args.device_timeout,
+                        quick=args.quick)
+    print(_jdump(report))
+    status = report["verdict"]["status"]
+    return {"ok": 0, "degraded": 1, "no-device": 2}[status]
+
+
 def cmd_cv(args):
     """k-fold cross-validation: pack each fold rotation once, train fit()
     per held-out fold, print mean±std of the final eval metrics (the
@@ -1066,6 +1089,19 @@ def main(argv=None):
 
     sy = sub.add_parser("parity", help="run the reference-parity harness (T12)")
     sy.set_defaults(fn=lambda a: __import__("mla_tpu.parity", fromlist=["main"]).main())
+
+    sd = sub.add_parser("doctor", help="environment self-check (device probe,"
+                        " tunnel RTT, compile latency, precision audit,"
+                        " exclusive-chip spread)")
+    sd.add_argument("--quick", action="store_true",
+                    help="skip the GEMM throughput spot check")
+    sd.add_argument("--device_timeout", type=float, default=120.0,
+                    help="seconds before the jax.devices() probe is declared"
+                         " hung (tunnel down)")
+    sd.add_argument("--platform", default=None,
+                    help="check this JAX platform instead of the configured"
+                         " one (e.g. cpu while the TPU tunnel is down)")
+    sd.set_defaults(fn=cmd_doctor)
 
     args = p.parse_args(argv)
     return args.fn(args)

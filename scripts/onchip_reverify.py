@@ -16,6 +16,8 @@ writes ``workspace/onchip_r4/summary.json`` at the end of every run.
 Checklist (docs/RESULTS.md round-3/4 pending list + VERDICT round-4
 items 1/3/5/8):
 
+  doctor         python -m mla_tpu doctor   (chip health: RTT, exclusive-
+                 chip spread, precision audit — context for every number)
   parity         python -m mla_tpu parity   (tick/train program
                  signatures changed: variables-as-args)
   bench          python bench.py            (the BENCH_r04 numbers)
@@ -43,6 +45,10 @@ PY = sys.executable
 
 STEPS = [
     # (name, argv, timeout_s)
+    # doctor first: records chip health (fetch RTT, exclusive-chip spread,
+    # default-precision audit) so every later number has context; a
+    # 'degraded' verdict (exit 1) logs as FAIL but does not stop the run
+    ("doctor", [PY, "-u", "-m", "mla_tpu", "doctor"], 900),
     ("parity", [PY, "-u", "-m", "mla_tpu", "parity"], 2400),
     ("bench", [PY, "-u", "bench.py"], 2400),
     ("serving8", [PY, "-u", "scripts/bench_serving.py", "adpcm4", "8",
