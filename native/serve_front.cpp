@@ -174,9 +174,15 @@ void respond(int fd, int status, const std::string& body, bool close_conn) {
 
 std::string jerr(const std::string& msg) {
   std::string out = "{\"error\": \"";
-  for (char c : msg) {  // minimal JSON string escape
-    if (c == '"' || c == '\\') out += '\\';
-    if (c == '\n') { out += "\\n"; continue; }
+  for (char c : msg) {  // JSON string escape; error text may echo client
+    if (c == '"' || c == '\\') out += '\\';     // bytes (e.g. the method
+    if (c == '\n') { out += "\\n"; continue; }  // of a garbage request),
+    if ((unsigned char)c < 0x20) {              // so raw control chars
+      char buf[8];                              // must become \u00XX or
+      snprintf(buf, sizeof(buf), "\\u%04x", c); // the body is not JSON
+      out += buf;
+      continue;
+    }
     out += c;
   }
   out += "\"}";
@@ -496,7 +502,8 @@ void connection_loop(Server* sv, int fd) {
       // is never read — keeping the connection would desync the next
       // request on it (same hygiene as the Python tier's _reply guard).
       bool close_conn = !rq.keep_alive || rq.content_length > 0;
-      respond(fd, 501, jerr("method " + rq.method + " not supported"),
+      respond(fd, 501,
+              jerr("method " + rq.method.substr(0, 32) + " not supported"),
               close_conn);
       if (close_conn) break;
       continue;
