@@ -266,10 +266,14 @@ def cmd_infer(args):
 
     variables = _load_variables(args, cfg)
     want_tl = bool(getattr(args, "timeline", None) or
-                   getattr(args, "events", None))
+                   getattr(args, "events", None) or
+                   getattr(args, "plot", None))
     if args.wav_dir:
         if args.wav:
             raise SystemExit("infer: pass one of --wav / --wav_dir")
+        if getattr(args, "plot", None):
+            raise SystemExit("infer: --plot is single-clip (--wav); batch "
+                             "mode writes --timeline CSVs to plot from")
         _infer_dir(args, cfg, variables)
         return
     if not args.wav:
@@ -310,6 +314,24 @@ def cmd_infer(args):
                                 f[:, top], w[:, top])
         if args.events:
             _write_events(w, f, hop_s, start_patch, top, names, args)
+        if args.plot:
+            from mla_tpu.utils import plot as uplot
+
+            mel = mel_hop = None
+            if not args.stream:
+                # one-shot path: the clip's patches tile the log-mel
+                # spectrogram exactly (VGGish non-overlap default)
+                from mla_tpu.ops.frontend import waveform_to_patches
+
+                patches = np.asarray(
+                    waveform_to_patches(wav[None], cfg.frontend)[0])
+                mel = uplot.continuous_mel(patches, cfg.frontend)
+                mel_hop = cfg.frontend.stft_hop_seconds
+            uplot.plot_timeline(
+                args.plot, hop_s, [names[i] for i in top],
+                f[:, top], w[:, top], start_patch=start_patch,
+                mel=mel, mel_hop_s=mel_hop,
+                title=os.path.basename(args.wav))
     print(_jdump({"top_k": [[names[i], float(scores[i])] for i in top]}))
 
 
@@ -957,6 +979,11 @@ def main(argv=None):
                     help="with --stream: size of the on-device localization "
                          "ring --timeline/--events read (the LAST N patches "
                          "— keeps long-form audio O(1)-memory)")
+    si.add_argument("--plot", default=None, metavar="PNG",
+                    help="render the timeline as a figure (top-k class "
+                         "probability + attention-gate curves over clip "
+                         "time, log-mel underlay — the paper's Fig. 2 "
+                         "qualitative analysis); single --wav only")
     si.add_argument("--set", nargs="*")
     si.set_defaults(fn=cmd_infer)
 

@@ -90,11 +90,19 @@ def check_block_until_ready_noop() -> Dict[str, Any]:
     before the device finishes: time a dependent matmul chain under
     block_until_ready vs under a host fetch. When block is honest, the two
     are comparable; a block that is >20x faster than the fetch (minus one
-    RTT) means only fetches synchronize and timing code must fetch."""
+    RTT) means only fetches synchronize and timing code must fetch.
+
+    The chain is sized per backend so an HONEST block still takes several
+    ms on a fast accelerator — otherwise device time would vanish against
+    a ~27 ms tunnel fetch RTT and an honest platform could read as a
+    no-op (on a 1-core CPU the small chain already runs ~150 ms)."""
     import jax
     import jax.numpy as jnp
 
-    n, chain = 1024, 8
+    if jax.default_backend() == "cpu":
+        n, chain = 1024, 8      # ~17 GFLOP
+    else:
+        n, chain = 2048, 16     # ~275 GFLOP: ~7 ms at this chip's 37 TFLOPS
 
     @jax.jit
     def work(a):

@@ -8,11 +8,7 @@ non-exclusive chip, no-op block_until_ready, bf16 default matmuls).
 
 import json
 
-import pytest
-
 from mla_tpu.utils import doctor
-
-pytestmark = pytest.mark.quick
 
 
 def test_run_quick_on_cpu_is_ok():
