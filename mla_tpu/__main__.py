@@ -231,11 +231,24 @@ def cmd_eval(args):
         threshold = _resolve_threshold(
             args, labels_for(cfg.data.dataset, cfg.model.n_classes))
 
+        variables = variables_from_state(state, eval_params(cfg, state))
         stats["events"] = evaluate_sed(
-            cfg, variables_from_state(state, eval_params(cfg, state)),
+            cfg, variables,
             n_clips=args.sed_clips, threshold=threshold,
             merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur,
             segment_s=args.segment_s)
+        if args.sweep:
+            # segment-F1-optimal scalar threshold (the clip-level
+            # calibrator is documented as not segment-optimal): one device
+            # pass, every candidate scored on host
+            from mla_tpu.train.sed_eval import sweep_sed_threshold
+
+            grid = (np.array([float(v) for v in args.sweep.split(",")])
+                    if args.sweep != "default" else None)
+            stats["events_sweep"] = sweep_sed_threshold(
+                cfg, variables, thresholds=grid, n_clips=args.sed_clips,
+                merge_gap_s=args.event_gap, min_dur_s=args.event_min_dur,
+                segment_s=args.segment_s)
     print(_jdump(stats))
 
 
@@ -930,6 +943,12 @@ def main(argv=None):
     sv.add_argument("--sed_clips", type=int, default=None,
                     help="event-corpus size for --events "
                          "(default data.n_eval_clips)")
+    sv.add_argument("--sweep", nargs="?", const="default", default=None,
+                    metavar="T1,T2,...",
+                    help="with --events: sweep the scalar event threshold "
+                         "and report the segment-F1-optimal operating "
+                         "point (default grid 0.05..0.95 step 0.05; the "
+                         "timelines are computed once)")
     sv.add_argument("--set", nargs="*")
     sv.set_defaults(fn=cmd_eval)
 

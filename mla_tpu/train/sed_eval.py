@@ -91,10 +91,6 @@ def evaluate_sed(
     eval split and scoring events here stays honest.
     """
     from mla_tpu.data.synthetic import synth_event_waveforms
-    from mla_tpu.serve.events import detect_events
-    from mla_tpu.utils.metrics import (events_to_segment_grid,
-                                       segment_event_metrics)
-
     from mla_tpu.ops.frontend import patch_hop_seconds
 
     n_clips = n_clips if n_clips is not None else cfg.data.n_eval_clips
@@ -110,19 +106,33 @@ def evaluate_sed(
         max_events=max_events)
     w, f = batched_timeline(cfg, variables, x,
                             batch_size or cfg.train.batch_size)
+    return _score_operating_point(
+        w, f, ref_events, c, cfg.data.clip_seconds, hop_s, seg_s,
+        threshold, merge_gap_s, min_dur_s)
+
+
+def _score_operating_point(w, f, ref_events, n_classes, clip_seconds,
+                           hop_s, seg_s, threshold, merge_gap_s,
+                           min_dur_s) -> Dict:
+    """Score ONE post-processing operating point from precomputed
+    timelines — host-only, so sweeps re-use a single device pass."""
+    from mla_tpu.serve.events import detect_events
+    from mla_tpu.utils.metrics import (events_to_segment_grid,
+                                       segment_event_metrics)
+
     ref_grids, est_grids = [], []
     n_est = 0
-    for i in range(n_clips):
+    for i in range(len(ref_events)):
         est = detect_events(f[i], w[i], hop_s=hop_s, threshold=threshold,
                             merge_gap_s=merge_gap_s, min_dur_s=min_dur_s)
         n_est += len(est)
         ref_grids.append(events_to_segment_grid(
-            ref_events[i], c, cfg.data.clip_seconds, seg_s))
+            ref_events[i], n_classes, clip_seconds, seg_s))
         est_grids.append(events_to_segment_grid(
-            est, c, cfg.data.clip_seconds, seg_s))
+            est, n_classes, clip_seconds, seg_s))
     out = segment_event_metrics(ref_grids, est_grids)
     out.update({
-        "n_clips": int(n_clips),
+        "n_clips": int(len(ref_events)),
         "n_ref_events": int(sum(len(e) for e in ref_events)),
         "n_est_events": int(n_est),
         "segment_s": float(seg_s),
@@ -132,3 +142,57 @@ def evaluate_sed(
         "min_dur_s": float(min_dur_s),
     })
     return out
+
+
+def sweep_sed_threshold(
+    cfg,
+    variables,
+    thresholds: Optional[np.ndarray] = None,
+    n_clips: Optional[int] = None,
+    seed: int = 20_000,
+    merge_gap_s: float = 0.0,
+    min_dur_s: float = 0.0,
+    segment_s: Optional[float] = None,
+    batch_size: Optional[int] = None,
+    max_events: int = 3,
+) -> Dict:
+    """Sweep the scalar event threshold against segment F1 and return the
+    best operating point (``eval --events --sweep``).
+
+    The clip-level calibrator (``calibrate_thresholds``) optimizes
+    recall-at-precision on CLIP labels — documented in RESULTS.md as not
+    segment-optimal for SED. This sweep measures what IS: one device pass
+    computes the timelines, then every candidate threshold is scored on
+    host (detect_events + DCASE segment grid are cheap numpy). The
+    returned ``best`` maximizes micro segment F1; ties go to the lower
+    threshold (higher recall at equal F1).
+    """
+    from mla_tpu.data.synthetic import synth_event_waveforms
+    from mla_tpu.ops.frontend import patch_hop_seconds
+
+    if thresholds is None:
+        thresholds = np.round(np.arange(0.05, 0.96, 0.05), 2)
+    n_clips = n_clips if n_clips is not None else cfg.data.n_eval_clips
+    if n_clips <= 0:
+        raise ValueError(f"sweep needs at least one clip (n_clips={n_clips})")
+    c = cfg.model.n_classes
+    hop_s = patch_hop_seconds(cfg.frontend)
+    seg_s = segment_s if segment_s is not None else hop_s
+    x, _, ref_events = synth_event_waveforms(
+        n_clips, c, cfg.data.clip_seconds, cfg.frontend.sample_rate,
+        seed=seed, max_events=max_events)
+    w, f = batched_timeline(cfg, variables, x,
+                            batch_size or cfg.train.batch_size)
+    rows = []
+    for t in thresholds:
+        r = _score_operating_point(
+            w, f, ref_events, c, cfg.data.clip_seconds, hop_s, seg_s,
+            float(t), merge_gap_s, min_dur_s)
+        rows.append({"threshold": float(t), "f1": r["f1"],
+                     "error_rate": r["error_rate"],
+                     "precision": r["precision"], "recall": r["recall"]})
+    best = max(rows, key=lambda r: (r["f1"], -r["threshold"]))
+    return {"sweep": rows, "best": dict(best),
+            "n_clips": int(n_clips), "segment_s": float(seg_s),
+            "merge_gap_s": float(merge_gap_s),
+            "min_dur_s": float(min_dur_s)}

@@ -256,3 +256,43 @@ def test_metrics_and_eval_reject_empty_input():
         segment_event_metrics([], [])
     with pytest.raises(ValueError, match="at least one clip"):
         evaluate_sed(Config(), None, n_clips=0)
+
+
+def test_sweep_sed_threshold_and_cli(tmp_path, capsys):
+    """--sweep scores every candidate from ONE timeline pass; the best row
+    maximizes F1 and reproduces a fresh evaluate_sed at that threshold
+    (same seed -> same corpus -> identical numbers)."""
+    from mla_tpu.__main__ import _load_cfg, main
+    from mla_tpu.train.loop import resume
+    from mla_tpu.train.sed_eval import evaluate_sed, sweep_sed_threshold
+    from mla_tpu.train.state import eval_params, variables_from_state
+
+    ws = _tiny_trained_ws(tmp_path, capsys)
+    sets = ["train.batch_size=8", "model.conv_channels=4,8",
+            "model.convs_per_stage=1", "model.hidden_units=16",
+            "data.n_train_clips=32", "data.n_eval_clips=16",
+            "data.clip_seconds=4.0", "model.n_classes=6"]
+
+    class A:
+        config = "esc50_single_attention"
+        workspace = ws
+        set = sets
+
+    cfg = _load_cfg(A())
+    state, _ = resume(cfg, ws)
+    variables = variables_from_state(state, eval_params(cfg, state))
+    grid = np.array([0.2, 0.5, 0.8])
+    sw = sweep_sed_threshold(cfg, variables, thresholds=grid, n_clips=6)
+    assert [r["threshold"] for r in sw["sweep"]] == [0.2, 0.5, 0.8]
+    assert sw["best"]["f1"] == max(r["f1"] for r in sw["sweep"])
+    fresh = evaluate_sed(cfg, variables, n_clips=6,
+                         threshold=sw["best"]["threshold"])
+    assert fresh["f1"] == pytest.approx(sw["best"]["f1"])
+    assert fresh["error_rate"] == pytest.approx(sw["best"]["error_rate"])
+
+    main(["eval", "--config=esc50_single_attention", "--workspace", ws,
+          "--events", "--sed_clips=6", "--sweep", "0.2,0.5,0.8",
+          "--set", *sets])
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["events_sweep"]["best"]["threshold"] in (0.2, 0.5, 0.8)
+    assert len(stats["events_sweep"]["sweep"]) == 3
