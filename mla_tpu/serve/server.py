@@ -255,40 +255,62 @@ class BatchedStreamingServer:
         # ~180x slower than 1), and the single buffer lets the native
         # front hand its C++-gathered staging memory straight to the
         # device with zero Python copies (a rotating ring covers the
-        # platform's missing transfer-completion signal). Unsharded
-        # servers only: the flat layout can't row-shard; the mesh path
-        # keeps _batched_step.
-        self._packed_step = None
-        if mesh is None:
-            units, _ = self._chunk_hop_units()
-            itemsize = np.dtype(self._buf_dtype).itemsize
-            wav_bytes = self.S * units * itemsize
-            self.packed_nbytes = wav_bytes + self.S
-            # one wire-silence row, as bytes — gather_ready_packed blanks
-            # inactive rows with it (staging buffers are np.empty, so an
-            # unwritten row would be garbage; the bitcast reads every
-            # byte even though inactive folds are masked on device)
-            self._blank_row_u8 = np.ascontiguousarray(
-                self._blank_tile()[0]).view(np.uint8)
-            jdt = jnp.dtype(self._buf_dtype)
+        # platform's missing transfer-completion signal). Two layouts,
+        # one program shape each:
+        #   flat  [S*row_bytes wire][S active] — unsharded servers; the
+        #         native front's C++ gather writes it zero-copy
+        #   rows  [S, row_bytes+1] (each row = wire bytes + its active
+        #         byte) — MESH servers: rows shard over the stream axis
+        #         like every other per-stream array, so the sharded tick
+        #         is one sharded upload instead of three
+        units, _ = self._chunk_hop_units()
+        itemsize = np.dtype(self._buf_dtype).itemsize
+        row_wire_bytes = units * itemsize
+        wav_bytes = self.S * row_wire_bytes
+        self.packed_row_bytes = row_wire_bytes + 1
+        self.packed_nbytes = wav_bytes + self.S
+        # one wire-silence row, as bytes — gather_ready_packed blanks
+        # inactive rows with it (staging buffers are np.empty, so an
+        # unwritten row would be garbage; the bitcast reads every
+        # byte even though inactive folds are masked on device)
+        self._blank_row_u8 = np.ascontiguousarray(
+            self._blank_tile()[0]).view(np.uint8)
+        jdt = jnp.dtype(self._buf_dtype)
 
+        def _unpack_wire(raw):
+            # uint8 wire bytes -> [S, units] buf dtype. For itemsize > 1
+            # the XLA bitcast packs the minor axis little-endian (index 0
+            # = low bits), matching the wire's numpy byte order (tested
+            # vs the 3-arg program).
+            if itemsize == 1:
+                return raw.reshape(self.S, units)
+            return jax.lax.bitcast_convert_type(
+                raw.reshape(self.S, units, itemsize), jdt)
+
+        if mesh is None:
             def packed_step(variables, states, tl, packed):
-                raw = packed[:wav_bytes]
-                if itemsize == 1:
-                    wav = raw.reshape(self.S, units)
-                else:
-                    # uint8 [S, units, itemsize] -> buf dtype [S, units]:
-                    # XLA bitcast packs the minor axis little-endian
-                    # (index 0 = low bits), matching the wire's numpy
-                    # byte order (tested vs the 3-arg program)
-                    wav = jax.lax.bitcast_convert_type(
-                        raw.reshape(self.S, units, itemsize), jdt)
+                wav = _unpack_wire(packed[:wav_bytes])
                 active = packed[wav_bytes:] != 0
                 n_valid = jnp.full((self.S,), self.chunk_patches, jnp.int32)
                 return batched_step(variables, states, tl, wav, active,
                                     n_valid)
 
             self._packed_step = jax.jit(packed_step)
+        else:
+            def packed_step(variables, states, tl, packed2d):
+                wav = _unpack_wire(packed2d[:, :row_wire_bytes])
+                active = packed2d[:, row_wire_bytes] != 0
+                n_valid = jnp.full((self.S,), self.chunk_patches, jnp.int32)
+                return batched_step(variables, states, tl, wav, active,
+                                    n_valid)
+
+            in_sh = jit_kwargs["in_shardings"]
+            self._packed_step = jax.jit(
+                packed_step,
+                # (variables, states, tl, packed2d): the 2D buffer row-
+                # shards exactly like the wav batch (P(axis, None))
+                in_shardings=in_sh[:4],
+                out_shardings=jit_kwargs["out_shardings"])
 
     def _put_batch(self, wav, active, n_valid):
         if self._wav_sh is None:
@@ -322,11 +344,14 @@ class BatchedStreamingServer:
             + self._put_batch(wav, active, n_valid)
         )
         if packed and self._packed_step is not None:
-            blank = np.zeros(self.packed_nbytes, np.uint8)
-            blank[: blank.size - self.S] = np.ascontiguousarray(
-                wav).view(np.uint8).ravel()
+            blank = self.packed_buffer()
+            rows, act_bytes = self._packed_views(blank)
+            rows[:] = np.ascontiguousarray(wav).view(np.uint8).reshape(
+                rows.shape)
+            act_bytes[:] = 0
             self.states, self.tl = self._packed_step(
-                self.variables, self.states, self.tl, jnp.asarray(blank))
+                self.variables, self.states, self.tl,
+                self.put_packed(blank))
         np.asarray(self._finalize(self.variables, self.states))  # compile + sync
 
     # --- stream lifecycle ---
@@ -494,25 +519,47 @@ class BatchedStreamingServer:
                 self._bufs[sid] = self._bufs[sid][hw:]
         return wav, active
 
-    def gather_ready_packed(self, out: np.ndarray):
-        """``gather_ready`` writing straight into the ONE-UPLOAD layout.
+    def packed_buffer(self) -> np.ndarray:
+        """A FRESH staging buffer in this server's one-upload layout:
+        flat ``[packed_nbytes]`` unsharded, ``[S, packed_row_bytes]`` on a
+        mesh (rows shard over the stream axis). Fresh per tick by
+        contract — see the ticker's staging-race note; every byte is
+        written by gather_ready_packed, so np.empty needs no zeroing."""
+        if self._wav_sh is None:
+            return np.empty(self.packed_nbytes, np.uint8)
+        return np.empty((self.S, self.packed_row_bytes), np.uint8)
 
-        Fills ``out`` (uint8, ``packed_nbytes``) with ``[S rows of wire
-        chunk bytes][S active bytes]`` — exactly what ``_packed_step``
-        unpacks on device — and advances the ready buffers. Returns the
-        active bool vector, or None if no stream has a full chunk.
-        Inactive rows are wire silence (their folds are masked on device,
-        but the bitcast still reads the bytes). Unsharded servers only
-        (``_packed_step is not None``): the flat layout can't row-shard."""
+    def put_packed(self, buf: np.ndarray):
+        """One host->device upload of a packed staging buffer (sharded
+        over the stream axis on a mesh)."""
+        if self._wav_sh is None:
+            return jnp.asarray(buf)
+        return jax.device_put(buf, self._wav_sh)
+
+    def _packed_views(self, out: np.ndarray):
+        """(wire_rows [S, row_wire_bytes], active_bytes [S]) views into a
+        packed buffer of either layout."""
+        rwb = self.packed_row_bytes - 1
+        if out.ndim == 2:
+            return out[:, :rwb], out[:, rwb]
+        return out[: self.S * rwb].reshape(self.S, rwb), out[self.S * rwb:]
+
+    def gather_ready_packed(self, out: np.ndarray):
+        """``gather_ready`` writing straight into the ONE-UPLOAD layout
+        (either shape — see ``packed_buffer``).
+
+        Fills ``out`` with wire chunk bytes + active bytes — exactly what
+        ``_packed_step`` unpacks on device — and advances the ready
+        buffers. Returns the active bool vector, or None if no stream has
+        a full chunk. Inactive rows are wire silence (their folds are
+        masked on device, but the bitcast still reads the bytes)."""
         cw, hw = self._chunk_hop_units()
-        row_bytes = cw * np.dtype(self._buf_dtype).itemsize
-        wav_bytes = self.S * row_bytes
         active = np.array(
             [b is not None and len(b) >= cw for b in self._bufs]
         )
         if not active.any():
             return None
-        rows = out[:wav_bytes].reshape(self.S, row_bytes)
+        rows, act_bytes = self._packed_views(out)
         for sid in range(self.S):
             if active[sid]:
                 rows[sid] = np.ascontiguousarray(
@@ -520,7 +567,7 @@ class BatchedStreamingServer:
                 self._bufs[sid] = self._bufs[sid][hw:]
             else:
                 rows[sid] = self._blank_row_u8
-        out[wav_bytes:] = active
+        act_bytes[:] = active
         return active
 
     def tick(self) -> int:

@@ -291,6 +291,58 @@ def test_mesh_sharded_server_matches_unsharded(setup):
                                mesh=mesh)
 
 
+@pytest.mark.parametrize("wire", ["float32", "adpcm4"])
+def test_mesh_packed_tick_matches_unsharded(setup, wire):
+    """The ONE-UPLOAD packed tick on a mesh server: the 2D
+    [S, row_bytes+1] layout (each row = wire bytes + its active byte)
+    row-shards over the stream axis, so the sharded hot tick is one
+    sharded upload. Advancing a mesh server exclusively through it must
+    reproduce the unsharded 3-arg server on the same bytes — including
+    the ring."""
+    from mla_tpu.parallel import mesh as pmesh
+
+    cfg, variables, wav = setup
+    mesh = pmesh.make_mesh()
+    n = _samples_per_patches(cfg.frontend, 10)
+    streams = [wav[:n], (wav[n : 2 * n] * 0.5).astype(np.float32)]
+
+    plain = BatchedStreamingServer(cfg, variables, max_streams=8,
+                                   chunk_patches=5, transfer_dtype=wire,
+                                   timeline_cap=8)
+    shard = BatchedStreamingServer(cfg, variables, max_streams=8,
+                                   chunk_patches=5, transfer_dtype=wire,
+                                   timeline_cap=8, mesh=mesh)
+    assert shard._packed_step is not None
+    assert shard.packed_buffer().shape == (8, shard.packed_row_bytes)
+    for sid, s in zip((shard.open(), shard.open()), streams):
+        shard.feed(sid, s)
+    ticks = 0
+    while True:  # TickLoop's packed hot path, driven by hand
+        buf = shard.packed_buffer()
+        active = shard.gather_ready_packed(buf)
+        if active is None:
+            break
+        shard.states, shard.tl = shard._packed_step(
+            shard.variables, shard.states, shard.tl, shard.put_packed(buf))
+        shard._fed |= active
+        ticks += 1
+    assert ticks >= 2  # 10 patches = two 5-patch chunks
+    for sid, s in zip((plain.open(), plain.open()), streams):
+        plain.feed(sid, s)
+    plain.drain()
+    for sid in range(len(streams)):
+        np.testing.assert_allclose(np.asarray(shard.scores(sid)),
+                                   np.asarray(plain.scores(sid)),
+                                   rtol=1e-5, atol=1e-6)
+    # the sharded ring written by the packed program matches too
+    s_start, s_levels = shard.timeline(0)
+    p_start, p_levels = plain.timeline(0)
+    assert s_start == p_start
+    for (sw, sf), (pw, pf) in zip(s_levels, p_levels):
+        np.testing.assert_allclose(sw, pw, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(sf, pf, rtol=1e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("wire", ["float32", "int16", "adpcm4"])
 def test_packed_tick_matches_three_arg_program(setup, wire):
     """The one-upload packed hot tick ([S*row_bytes wire][S active] uint8,
@@ -377,15 +429,26 @@ def _samples_for_chunks(cfg, chunk_patches, n_chunks):
     return _samples_per_patches(cfg.frontend, chunk_patches * n_chunks)
 
 
-def test_packed_step_absent_on_sharded_server(setup):
-    """The flat packed layout can't row-shard; mesh servers must fall
-    back to the 3-arg program (the native tick loop keys on this)."""
-    import jax.sharding as shd
-
+def test_packed_layouts_by_mesh(setup):
+    """Unsharded servers pack FLAT (the native front's C++ gather writes
+    it zero-copy); mesh servers pack 2D rows that shard over the stream
+    axis — put_packed must actually place them that way (the tick loops
+    key their staging layout on _wav_sh)."""
     cfg, variables, _ = setup
+    flat = BatchedStreamingServer(cfg, variables, max_streams=2,
+                                  chunk_patches=4)
+    assert flat.packed_buffer().shape == (flat.packed_nbytes,)
+    assert flat.put_packed(flat.packed_buffer()).sharding.is_fully_replicated
+
     devs = jax.devices()[:2]
     mesh = jax.sharding.Mesh(np.array(devs).reshape(2), ("data",))
     srv = BatchedStreamingServer(cfg, variables, max_streams=2,
                                  chunk_patches=4, mesh=mesh)
-    assert srv._packed_step is None
-    del shd
+    assert srv._packed_step is not None
+    buf = srv.packed_buffer()
+    assert buf.shape == (2, srv.packed_row_bytes)
+    dev = srv.put_packed(buf)
+    assert dev.sharding == srv._wav_sh  # one row per device
+    shards = {s.device: s.data.shape for s in dev.addressable_shards}
+    assert all(shape == (1, srv.packed_row_bytes)
+               for shape in shards.values()) and len(shards) == 2
