@@ -42,6 +42,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "workspace", "onchip_r4")
 PY = sys.executable
+# scripts/*.py children don't get the repo on sys.path from cwd alone
+# (only -m and repo-root scripts do) — inject it, APPENDING to the preset
+# PYTHONPATH (/root/.axon_site loads the TPU plugin; never override).
+ENV = dict(os.environ,
+           PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
 
 STEPS = [
     # (name, argv, timeout_s)
@@ -99,7 +104,7 @@ def run_step(name, argv, timeout_s, summary):
         log.flush()
         try:
             r = subprocess.run(argv, stdout=log, stderr=subprocess.STDOUT,
-                               timeout=timeout_s, cwd=REPO)
+                               timeout=timeout_s, cwd=REPO, env=ENV)
             rc = r.returncode
         except subprocess.TimeoutExpired:
             rc = -1
