@@ -169,9 +169,13 @@ class TickLoop:
 
     def reload_weights(self, variables) -> None:
         """Zero-downtime weight swap (server.reload_weights semantics),
-        serialized against the tick thread's state-assign window."""
+        serialized against the tick thread's state-assign window. The
+        ~31 MB device_put is staged BEFORE taking the locks (VERDICT r4
+        item 3: holding `dev` across the transfer froze every stream
+        ~0.8 s per reload); only the pointer swap holds them."""
+        staged = self.srv.prepare_reload(variables)
         with self.dev, self.cond:
-            self.srv.reload_weights(variables)
+            self.srv.commit_reload(staged)
 
     def timeline(self, sid: int):
         """Localization window (server.timeline semantics). The ring fetch

@@ -208,6 +208,21 @@ def check_gemm_throughput(n: Optional[int] = None, iters: int = 6,
     }
 
 
+SERVING_SPREAD_BAR = 0.05  # docs/RESULTS.md rule: spread > ~5% => rerun
+
+
+def exclusivity_context(**gemm_kwargs) -> Dict[str, float]:
+    """One quick GEMM spread probe for stamping onto benchmark output
+    (VERDICT r4 item 6: every serving number carries its exclusivity
+    context). Returns {'gemm_tflops', 'gemm_spread', 'exclusive'} —
+    ``exclusive`` uses the serving bar (5%), stricter than verdict()'s
+    degraded threshold, because benchmark numbers are quoted to ~1%."""
+    g = check_gemm_throughput(**gemm_kwargs)
+    return {"gemm_tflops": round(g["tflops"], 2),
+            "gemm_spread": round(g["rel_spread"], 3),
+            "exclusive": g["rel_spread"] <= SERVING_SPREAD_BAR}
+
+
 def verdict(report: Dict[str, Any]) -> Dict[str, Any]:
     """Fold check results into ok/degraded/no-device + reasons."""
     if not report.get("devices"):

@@ -385,6 +385,11 @@ def main():
                          "ring enabled (expected ~free: one masked "
                          "gather+scatter fused into the tick program; "
                          "compare against a 0 run same-session)")
+    ap.add_argument("--no-doctor", action="store_true",
+                    help="skip the pre/post GEMM exclusivity probes "
+                         "(VERDICT r4 item 6: by default every number is "
+                         "stamped with the chip-exclusivity context and "
+                         "warn-tagged when GEMM spread > 5%%)")
     args = ap.parse_args()
     globals()["CHUNK_PATCHES"] = args.chunk_patches
     globals()["TIMELINE_CAP"] = args.timeline_cap
@@ -396,6 +401,11 @@ def main():
     wav0 = np.zeros(16000 * 2, np.float32)
     patches = waveform_to_patches(jax.numpy.asarray(wav0)[None], cfg.frontend)
     variables = model.init(jax.random.key(0), patches)
+    excl_pre = None
+    if not args.no_doctor:
+        from mla_tpu.utils.doctor import exclusivity_context
+
+        excl_pre = exclusivity_context()
     rows = []
     for td in dtypes:
         direct = None
@@ -416,9 +426,27 @@ def main():
                 h["http_vs_direct"] = round(
                     h["audio_seconds_per_s"] / direct["audio_seconds_per_s"], 3)
             rows.append(h)
+    excl = None
+    if not args.no_doctor:
+        # probe again AFTER the sweep: a job that arrived mid-run shows
+        # up here even if the pre-probe was calm
+        excl_post = exclusivity_context()
+        excl = {"pre": excl_pre, "post": excl_post,
+                "exclusive": excl_pre["exclusive"] and excl_post["exclusive"]}
+        if not excl["exclusive"]:
+            print(f"WARNING: chip not exclusive (GEMM spread pre="
+                  f"{excl_pre['gemm_spread']} post="
+                  f"{excl_post['gemm_spread']} > "
+                  f"0.05) — absolute numbers below are suspect; rerun on a "
+                  f"calm tunnel (docs/RESULTS.md rule)", file=sys.stderr)
     for r in rows:
-        print(json.dumps({**r, "audio_seconds_per_s": round(r["audio_seconds_per_s"], 1),
-                          "rel_spread": round(r["rel_spread"], 3)}))
+        row = {**r, "audio_seconds_per_s": round(r["audio_seconds_per_s"], 1),
+               "rel_spread": round(r["rel_spread"], 3)}
+        if excl is not None:
+            row["chip_exclusive"] = excl["exclusive"]
+            row["gemm_spread"] = [excl["pre"]["gemm_spread"],
+                                  excl["post"]["gemm_spread"]]
+        print(json.dumps(row))
     return rows
 
 

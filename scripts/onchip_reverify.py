@@ -1,35 +1,38 @@
-"""Round-4 on-chip re-verification orchestrator (VERDICT item 1).
+"""Round-5 on-chip re-verification orchestrator (VERDICT r4 items 2-8).
 
-The TPU tunnel has been down for days; when it returns — possibly
-briefly — EVERY pending on-chip measurement must run unattended in one
-window, most-critical first. This runner executes the checklist
-sequentially (benchmarks need the chip exclusive — never parallel on
-this 1-core host), logs each step to ``workspace/onchip_r4/<step>.log``,
-drops a ``.ok`` sentinel on success so a re-run resumes where it died,
-re-gates on tunnel liveness between steps (a probe subprocess with a
-timeout — jax.devices() hangs forever when the tunnel is dead), and
-writes ``workspace/onchip_r4/summary.json`` at the end of every run.
+Runs the pending on-chip checklist unattended in one window, most-
+critical first, sequentially (benchmarks need the chip exclusive —
+never parallel on this 1-core host), logs each step to
+``workspace/onchip_r5/<step>.log``, drops a ``.ok`` sentinel on success
+so a re-run resumes where it died, re-gates on tunnel liveness between
+steps (a probe subprocess with a timeout — jax.devices() hangs forever
+when the tunnel is dead), and writes ``summary.json`` at the end of
+every run. ``--strict`` exits nonzero if any step is red (VERDICT r4
+item 7: never snapshot a failing record).
 
-    PYTHONPATH=/root/repo:$PYTHONPATH python -u scripts/onchip_reverify.py
-        [--steps parity,bench,...] [--cv] [--force step1,step2]
+    python -u scripts/onchip_reverify.py
+        [--steps parity,bench,...] [--cv] [--force step1,step2] [--strict]
 
-Checklist (docs/RESULTS.md round-3/4 pending list + VERDICT round-4
-items 1/3/5/8):
+Checklist (VERDICT round-4 items 2-8):
 
   doctor         python -m mla_tpu doctor   (chip health: RTT, exclusive-
                  chip spread, precision audit — context for every number)
-  parity         python -m mla_tpu parity   (tick/train program
-                 signatures changed: variables-as-args)
-  bench          python bench.py            (the BENCH_r04 numbers)
-  serving8       direct + PACKED one-upload + native-HTTP w/ C++ client,
-                 8 adpcm4 streams (VERDICT item 3's measurement)
-  serving32      native-HTTP + C++ client at 32 streams (streams_per_tick)
-  timeline_cost  ring tick cost cap=64 vs 0 + one-fetch readout latency
-  reload         hot-reload latency under live feeds
+  parity         python -m mla_tpu parity
+  bench          python bench.py            (the BENCH_r05 numbers)
+  serving8       direct + PACKED + native-HTTP w/ C++ client, 8 adpcm4
+                 streams, SYNC feeds (VERDICT r4 item 2's ratio)
+  serving8_async same with --async-feeds (the decomposition's other arm)
+  ladder8        wire ladder at 8 streams: adpcm2 + uint8 control,
+                 direct AND http, same session (VERDICT r4 item 5)
+  ladder32       wire ladder at 32 streams over HTTP (adpcm4/adpcm2/uint8)
+  reload         hot-reload latency under live feeds (item 3: now
+                 pre-staged outside the lock — expect <10 ms live median)
   tick_phases    packed tick-loop phase decomposition
   mosaic         the once-per-round Mosaic row-merge reshape re-probe
+                 (item 8: round 4's probe died as an HTTP 500, not a
+                 clean reject — confirm which)
   cv             (--cv only: ~1 h) milestone-scale 5-fold protocol on the
-                 ESC-50-shaped corpus (generated on demand)
+                 ESC-50-shaped corpus (generated on demand; item 4)
 """
 
 import argparse
@@ -40,13 +43,17 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "workspace", "onchip_r4")
+OUT = os.path.join(REPO, "workspace", "onchip_r5")
 PY = sys.executable
 # scripts/*.py children don't get the repo on sys.path from cwd alone
-# (only -m and repo-root scripts do) — inject it, APPENDING to the preset
-# PYTHONPATH (/root/.axon_site loads the TPU plugin; never override).
+# (only -m and repo-root scripts do) — inject it, APPENDED after the
+# preset PYTHONPATH (/root/.axon_site loads the TPU plugin; appending
+# keeps the plugin's sitecustomize first and can never shadow it —
+# round-4 ADVICE). No trailing/leading empty entries (an empty PYTHONPATH
+# element means "add cwd to sys.path").
+_pp = os.environ.get("PYTHONPATH", "")
 ENV = dict(os.environ,
-           PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""))
+           PYTHONPATH=(_pp + os.pathsep + REPO) if _pp else REPO)
 
 STEPS = [
     # (name, argv, timeout_s)
@@ -58,9 +65,14 @@ STEPS = [
     ("bench", [PY, "-u", "bench.py"], 2400),
     ("serving8", [PY, "-u", "scripts/bench_serving.py", "adpcm4", "8",
                   "--packed", "--http", "--native", "--cpp-client"], 2400),
-    ("serving32", [PY, "-u", "scripts/bench_serving.py", "adpcm4", "32",
-                   "--http-only", "--native", "--cpp-client"], 2400),
-    ("timeline_cost", [PY, "-u", "scripts/probe_timeline_cost.py"], 1800),
+    ("serving8_async", [PY, "-u", "scripts/bench_serving.py", "adpcm4", "8",
+                        "--http-only", "--native", "--cpp-client",
+                        "--async-feeds"], 2400),
+    ("ladder8", [PY, "-u", "scripts/bench_serving.py", "adpcm2,uint8", "8",
+                 "--http", "--native", "--cpp-client"], 2400),
+    ("ladder32", [PY, "-u", "scripts/bench_serving.py",
+                  "adpcm4,adpcm2,uint8", "32",
+                  "--http-only", "--native", "--cpp-client"], 3600),
     ("reload", [PY, "-u", "scripts/probe_reload.py"], 1800),
     ("tick_phases", [PY, "-u", "scripts/probe_tick_phases.py", "sync01"],
      1800),
@@ -121,9 +133,11 @@ def run_step(name, argv, timeout_s, summary):
                         pass
     except OSError:
         pass
+    # keep ALL harvested lines (the round-4 [-8:] cap silently dropped
+    # parity check #1 — VERDICT r4 item 1b)
     summary[name] = {"status": "ok" if rc == 0 else
                      ("timeout" if rc == -1 else f"rc={rc}"),
-                     "seconds": round(dt, 1), "json": jlines[-8:]}
+                     "seconds": round(dt, 1), "json": jlines}
     if rc == 0:
         open(ok_path, "w").close()
         print(f"[ ok ] {name} in {dt:.0f}s", flush=True)
@@ -141,6 +155,9 @@ def main():
                     help="comma list whose .ok sentinels are cleared first")
     ap.add_argument("--cv", action="store_true",
                     help="also run the long milestone-scale cv protocol")
+    ap.add_argument("--strict", action="store_true",
+                    help="exit nonzero if ANY step is red (VERDICT r4 "
+                         "item 7: never snapshot a failing record)")
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
     steps = STEPS + (CV_STEPS if args.cv else [])
@@ -168,9 +185,16 @@ def main():
                 summary["tunnel"] = "died-mid-run"
                 break
     summary["finished"] = time.strftime("%F %T")
+    red = [k for k, v in summary.items()
+           if isinstance(v, dict)
+           and v.get("status") not in ("ok", "done-previous")]
+    summary["all_green"] = not red and summary.get("tunnel") == "up"
     with open(os.path.join(OUT, "summary.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     print(json.dumps(summary, indent=1), flush=True)
+    if args.strict and not summary["all_green"]:
+        print(f"--strict: red steps {red or ['<tunnel down>']}", flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
