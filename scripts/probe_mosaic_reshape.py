@@ -30,8 +30,26 @@ def kernel(x_ref, o_ref):
     o_ref[...] = x.reshape(320, 480)    # row-merge: 3 rows -> 1
 
 
+def control_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...] * 2.0       # known-good: elementwise copy
+
+
 def main():
     x = np.arange(960 * 160, dtype=np.float32).reshape(960, 160)
+    # CONTROL first (VERDICT r4 item 8): a kernel Mosaic definitely
+    # accepts, compiled in the SAME session. If the control passes and
+    # the reshape fails, the failure is a genuine capability reject even
+    # when it surfaces as an HTTP 500 from the remote compile helper
+    # (the helper crashes ON the kernel, exit 1 -> 500) — not tunnel flake.
+    try:
+        c = pl.pallas_call(
+            control_kernel,
+            out_shape=jax.ShapeDtypeStruct((960, 160), jnp.float32),
+        )(jnp.asarray(x))
+        control_ok = bool(np.allclose(np.asarray(c), x * 2.0))
+        control_err = None
+    except Exception as e:
+        control_ok, control_err = False, f"{type(e).__name__}: {str(e)[:200]}"
     try:
         out = pl.pallas_call(
             kernel,
@@ -43,8 +61,13 @@ def main():
         ok, err = False, f"{type(e).__name__}: {str(e)[:300]}"
     print(json.dumps({
         "row_merge_reshape_supported": ok,
+        "control_kernel_ok": control_ok,
+        "verdict": ("genuine-reject" if control_ok and not ok
+                    else "supported" if ok
+                    else "inconclusive-compiler-unreachable"),
         "platform": jax.devices()[0].platform,
         "error": err,
+        "control_error": control_err,
     }))
     return 0
 

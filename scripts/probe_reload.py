@@ -1,11 +1,20 @@
-"""Zero-downtime weight hot-reload latency under live feeds (round 4).
+"""Zero-downtime weight hot-reload latency under live feeds (round 4/5).
 
-Measures `TickLoop.reload_weights` — one device_put of the full flagship
-parameter tree + a pointer swap under the device lock, no retrace by
-construction (variables are an explicit argument of the jitted tick /
-finalize programs, server.py:568) — while 8 adpcm4 streams feed
-continuously, and again idle. Also asserts the swap is LIVE: scores
-after a reload reflect the new weights.
+Measures `TickLoop.reload_weights` while 8 adpcm4 streams feed
+continuously, and again idle. Round 5 split the reload into
+prepare_reload (the ~31 MB device_put, NO lock held) + commit_reload
+(pointer swap under the device lock) — VERDICT r4 item 3 — so this
+probe now reports THREE numbers:
+
+  caller_ms  total reload_weights latency seen by the reloader (still
+             pays the transfer; that cost is unavoidable and harmless)
+  swap_ms    the lock-held window (prepare outside / commit inside) —
+             the only part open streams can ever observe; bar: <10 ms
+  tick_gap   max tick-to-tick gap while reloading vs a no-reload
+             control window — the DOWNTIME streams actually see
+
+Also asserts the swap is LIVE: scores after a reload reflect the new
+weights.
 
 Run EXCLUSIVELY on the real chip:
 
@@ -83,12 +92,43 @@ def main():
         t.start()
     time.sleep(2.0)  # reach steady-state ticking
 
-    live_ms = []
-    for _ in range(RELOADS):
+    # tick-gap monitor: samples the tick counter and records the largest
+    # interval with no completed tick (the downtime open streams see)
+    gaps = {"control": 0.0, "reload": 0.0}
+    phase = {"name": "control"}
+    mon_stop = threading.Event()
+
+    def monitor():
+        last_n, last_t = loop.ticks, time.perf_counter()
+        while not mon_stop.is_set():
+            n, now = loop.ticks, time.perf_counter()
+            if n != last_n:
+                gaps[phase["name"]] = max(gaps[phase["name"]], now - last_t)
+                last_n, last_t = n, now
+            time.sleep(0.001)
+
+    mon = threading.Thread(target=monitor, daemon=True)
+    mon.start()
+    time.sleep(3.0)  # control window: steady ticking, no reloads
+
+    phase["name"] = "reload"
+    live_ms, swap_ms = [], []
+    for k in range(RELOADS):
         t0 = time.perf_counter()
-        loop.reload_weights(host_vars)
+        if k % 2 == 0:
+            loop.reload_weights(host_vars)
+        else:
+            # decomposed: time the lock-held window alone (same code
+            # path reload_weights takes internally)
+            staged = loop.srv.prepare_reload(host_vars)
+            t1 = time.perf_counter()
+            with loop.dev, loop.cond:
+                loop.srv.commit_reload(staged)
+            swap_ms.append((time.perf_counter() - t1) * 1e3)
         live_ms.append((time.perf_counter() - t0) * 1e3)
         time.sleep(0.3)
+    mon_stop.set()
+    mon.join(timeout=5)
     stop.set()
     for t in threads:
         t.join(timeout=10)
@@ -111,6 +151,10 @@ def main():
         "metric": "reload_ms",
         "live_median_ms": round(float(np.median(live_ms)), 1),
         "live_max_ms": round(float(np.max(live_ms)), 1),
+        "swap_median_ms": round(float(np.median(swap_ms)), 2),
+        "swap_max_ms": round(float(np.max(swap_ms)), 2),
+        "tick_gap_control_ms": round(gaps["control"] * 1e3, 1),
+        "tick_gap_reload_ms": round(gaps["reload"] * 1e3, 1),
         "idle_median_ms": round(float(np.median(idle_ms)), 1),
         "n_params": int(n_params),
         "streams": S, "reloads": RELOADS,
