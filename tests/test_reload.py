@@ -340,6 +340,39 @@ def test_reload_stages_transfer_outside_the_locks(rng):
         loop.stop()
 
 
+def test_mesh_server_reload_matches_unsharded(rng):
+    """Hot-swap on a MESH server: prepare_reload must stage the new tree
+    with the server's parameter shardings (srv._var_sh), and a fresh
+    stream after the swap must match an unsharded server built with the
+    new weights."""
+    from mla_tpu.parallel import mesh as pmesh
+
+    cfg, model, v1, v2 = _setup(rng)
+    mesh = pmesh.make_mesh()
+    srv = BatchedStreamingServer(cfg, v1, max_streams=8, chunk_patches=2,
+                                 mesh=mesh)
+    wav = (rng.standard_normal(
+        _samples_per_patches(cfg.frontend, 2)) * 0.3).astype(np.float32)
+
+    staged = srv.prepare_reload(jax.tree.map(np.asarray, v2))
+    # staged tree carries the mesh shardings, not host arrays
+    expect = jax.tree.leaves(srv._var_sh)
+    got = [x.sharding for x in jax.tree.leaves(staged)]
+    assert got == expect
+    srv.commit_reload(staged)
+
+    sid = srv.open()
+    srv.feed(sid, wav)
+    srv.drain()
+
+    ref = BatchedStreamingServer(cfg, v2, max_streams=1, chunk_patches=2)
+    r = ref.open()
+    ref.feed(r, wav)
+    ref.drain()
+    np.testing.assert_allclose(srv.scores(sid), ref.scores(r),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_reload_under_concurrent_feeds(rng):
     """Hot-swap while another stream feeds: the swap holds dev+cond, the
     tick thread holds dev for its state swap — scores must stay finite
