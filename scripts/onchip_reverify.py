@@ -31,6 +31,8 @@ Checklist (VERDICT round-4 items 2-8):
   mosaic         the once-per-round Mosaic row-merge reshape re-probe
                  (item 8: round 4's probe died as an HTTP 500, not a
                  clean reject — confirm which)
+  soak           10-min production-ops soak: live HTTP load + hot-reload
+                 every 30 s + healthz reads, all concurrently
   cv             (--cv only: ~1 h) milestone-scale 5-fold protocol on the
                  ESC-50-shaped corpus (generated on demand; item 4)
 """
@@ -77,6 +79,7 @@ STEPS = [
     ("tick_phases", [PY, "-u", "scripts/probe_tick_phases.py", "sync01"],
      1800),
     ("mosaic", [PY, "-u", "scripts/probe_mosaic_reshape.py"], 1200),
+    ("soak", [PY, "-u", "scripts/probe_serving_soak.py", "10"], 1500),
 ]
 
 CV_CORPUS = os.path.join(REPO, "workspace", "cv_corpus_esc50")
