@@ -171,39 +171,52 @@ def check_matmul_precision() -> Dict[str, Any]:
             "default_is_reduced_precision": bool(rel > 1e-5)}
 
 
-def check_gemm_throughput(n: Optional[int] = None, iters: int = 6,
+def check_gemm_throughput(n: Optional[int] = None, iters: Optional[int] = None,
                           repeats: int = 3) -> Dict[str, float]:
     """f32-DEFAULT GEMM throughput spot check + repeat spread (the
     exclusive-chip detector: spread > ~25% across repeats means another
     job is timesharing the device). Synchronizes through ONE scalar fetch
-    per repeat (axon rules). ``n`` defaults per backend: 2048 on an
-    accelerator, 512 on cpu (a 2048^3 chain takes minutes on a 1-core
-    host and tells you nothing)."""
+    per repeat (axon rules), and SUBTRACTS the measured per-fetch RTT
+    from every repeat before computing tflops/spread — otherwise the
+    ~27 ms tunnel fetch dominates a short device window and the "spread"
+    measures tunnel jitter, not chip contention (round-5 review finding:
+    the old 6-iter window was ~2.7 ms of compute inside a ~24 ms fetch).
+    ``n``/``iters`` default per backend: 2048 x 60 iters (~27 ms compute
+    at this chip's measured 37.7 TFLOPS) on an accelerator, 512 x 6 on
+    cpu (a long 2048^3 chain takes minutes on a 1-core host). The chain
+    runs under lax.fori_loop so compile time stays O(1) in iters."""
     import jax
     import jax.numpy as jnp
 
     if n is None:
         n = 512 if jax.default_backend() == "cpu" else 2048
+    if iters is None:
+        iters = 6 if jax.default_backend() == "cpu" else 60
 
     @jax.jit
     def work(a):
-        for _ in range(iters):
-            a = a @ a * (1.0 / n)
+        a = jax.lax.fori_loop(0, iters, lambda _, x: x @ x * (1.0 / n), a)
         return jnp.sum(a)
 
     a = jax.device_put(jnp.full((n, n), 1.0 / n, jnp.float32))
     np.asarray(work(a))  # compile + warmup
+    rtt = check_fetch_rtt(iters=5)["median_ms"] / 1e3
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         np.asarray(work(a))
-        times.append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        # floor at 10% of the raw window: a slow single fetch must not
+        # drive the device estimate negative
+        times.append(max(dt - rtt, dt * 0.1))
     med = float(np.median(times))
     flops = 2.0 * n * n * n * iters
     return {
         "n": n,
+        "iters": iters,
         "tflops": flops / med / 1e12,
         "median_s": med,
+        "fetch_rtt_s": rtt,
         "rel_spread": (max(times) - min(times)) / med,
     }
 

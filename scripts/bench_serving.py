@@ -285,21 +285,14 @@ def bench_http_cpp(cfg, variables, transfer_dtype: str,
     capacity. Same methodology: keep-alive connection per stream,
     barrier-coordinated bursts, one scores fetch per repeat as the device
     sync."""
-    import os
     import subprocess
     import tempfile
 
+    from _client_util import ensure_bench_client
     from mla_tpu.serve.client import _CTYPE, _WireEncoder
     from mla_tpu.serve.streaming import _samples_per_patches
 
-    exe = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "native", "bench_client")
-    src = exe + ".cpp"
-    if (not os.path.exists(exe)
-            or os.path.getmtime(exe) < os.path.getmtime(src)):
-        subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-march=native", "-pthread",
-             src, "-o", exe], check=True, capture_output=True, timeout=120)
+    exe = ensure_bench_client()
 
     if native:
         from mla_tpu.serve.native_front import create_native_server as create_server
@@ -428,6 +421,8 @@ def main():
             rows.append(h)
     excl = None
     if not args.no_doctor:
+        from mla_tpu.utils.doctor import SERVING_SPREAD_BAR
+
         # probe again AFTER the sweep: a job that arrived mid-run shows
         # up here even if the pre-probe was calm
         excl_post = exclusivity_context()
@@ -436,8 +431,8 @@ def main():
         if not excl["exclusive"]:
             print(f"WARNING: chip not exclusive (GEMM spread pre="
                   f"{excl_pre['gemm_spread']} post="
-                  f"{excl_post['gemm_spread']} > "
-                  f"0.05) — absolute numbers below are suspect; rerun on a "
+                  f"{excl_post['gemm_spread']} > {SERVING_SPREAD_BAR}) — "
+                  f"absolute numbers below are suspect; rerun on a "
                   f"calm tunnel (docs/RESULTS.md rule)", file=sys.stderr)
     for r in rows:
         row = {**r, "audio_seconds_per_s": round(r["audio_seconds_per_s"], 1),

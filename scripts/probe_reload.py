@@ -100,12 +100,23 @@ def main():
 
     def monitor():
         last_n, last_t = loop.ticks, time.perf_counter()
+        last_phase = phase["name"]
         while not mon_stop.is_set():
             n, now = loop.ticks, time.perf_counter()
-            if n != last_n:
-                gaps[phase["name"]] = max(gaps[phase["name"]], now - last_t)
+            if phase["name"] != last_phase:
+                # phase flip: restart the open interval so a gap that
+                # started in the control window is not charged to reload
+                last_phase = phase["name"]
+                last_n, last_t = n, now
+            elif n != last_n:
+                gaps[last_phase] = max(gaps[last_phase], now - last_t)
                 last_n, last_t = n, now
             time.sleep(0.001)
+        # fold in the still-open interval: a freeze caused by the FINAL
+        # reload would otherwise be dropped (feeders are still running
+        # here — mon_stop is set before stop)
+        gaps[last_phase] = max(gaps[last_phase],
+                               time.perf_counter() - last_t)
 
     mon = threading.Thread(target=monitor, daemon=True)
     mon.start()

@@ -56,10 +56,17 @@ SMOKE = os.environ.get("MLA_PROBE_SMOKE") == "1"
 
 
 def main():
+    global TICKS_PER_BURST, RELOAD_EVERY_S, HEALTH_EVERY_S
     minutes = float(sys.argv[1]) if len(sys.argv) > 1 else 10.0
     if SMOKE:
         jax.config.update("jax_platforms", "cpu")
+        # scale EVERYTHING so a sub-minute CPU run still exercises >=2
+        # bursts AND >=1 reload + several health reads (round-5 review:
+        # un-scaled 30 s reloads never fired inside a 0.6-min smoke)
         minutes = min(minutes, 0.6)
+        TICKS_PER_BURST = 4
+        RELOAD_EVERY_S = 4.0
+        HEALTH_EVERY_S = 1.0
         cfg = get_config("audioset_full_dp",
                          overrides={"model.conv_channels": "8,16",
                                     "model.n_classes": "12"})
@@ -84,11 +91,9 @@ def main():
         transfer_dtype="adpcm4", reload_fn=reload_fn)
     host, port = srv.server_address
 
-    exe = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "native", "bench_client")
-    if not os.path.exists(exe):
-        subprocess.run(["make", "-C", os.path.dirname(exe), "bench_client"],
-                       check=True, capture_output=True, timeout=120)
+    from _client_util import ensure_bench_client
+
+    exe = ensure_bench_client()
     rng = np.random.default_rng(0)
     sps = _samples_per_patches(cfg.frontend, CHUNK_PATCHES)
     chunk = (rng.standard_normal(sps) * 0.1).astype(np.float32)
@@ -134,32 +139,43 @@ def main():
         t.start()
 
     bursts = []
-    deadline = time.time() + minutes * 60.0
-    with tempfile.NamedTemporaryFile(suffix=".wire") as bf:
-        bf.write(body)
-        bf.flush()
-        while time.time() < deadline and not errors:
-            t0 = time.perf_counter()
-            out = subprocess.run(
-                [exe, host, str(port), str(S), bf.name, _CTYPE["adpcm4"],
-                 str(TICKS_PER_BURST), "1", "1"],
-                capture_output=True, timeout=600)
-            dt = time.perf_counter() - t0
-            if out.returncode != 0:
-                errors.append(f"burst: rc={out.returncode} "
-                              f"{out.stderr.decode()[-200:]}")
-                break
-            bursts.append(audio_s_per_burst / dt)
-    stop.set()
-    for t in threads:
-        t.join(timeout=15)
-    srv.server_close()
+    t_start = time.time()
+    deadline = t_start + minutes * 60.0
+    try:
+        with tempfile.NamedTemporaryFile(suffix=".wire") as bf:
+            bf.write(body)
+            bf.flush()
+            while time.time() < deadline and not errors:
+                t0 = time.perf_counter()
+                try:
+                    out = subprocess.run(
+                        [exe, host, str(port), str(S), bf.name,
+                         _CTYPE["adpcm4"], str(TICKS_PER_BURST), "1", "1"],
+                        capture_output=True, timeout=600)
+                except subprocess.TimeoutExpired:
+                    # a wedged burst is soak DATA, not a crash: record it
+                    # and keep the accumulated evidence (round-5 review)
+                    errors.append("burst: bench_client wedged >600 s")
+                    break
+                dt = time.perf_counter() - t0
+                if out.returncode != 0:
+                    errors.append(f"burst: rc={out.returncode} "
+                                  f"{out.stderr.decode()[-200:]}")
+                    break
+                bursts.append(audio_s_per_burst / dt)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=15)
+        srv.server_close()
+    elapsed_min = (time.time() - t_start) / 60.0
 
     ok = (not errors and len(bursts) >= 2 and health["errors"] == 0)
     print(json.dumps({
         "metric": "serving_soak",
         "ok": ok,
-        "minutes": round((len(bursts) and minutes) or 0, 1),
+        "minutes": round(elapsed_min, 1),
+        "minutes_requested": round(minutes, 1),
         "bursts": len(bursts),
         "total_audio_s": round(audio_s_per_burst * len(bursts), 0),
         "audio_s_per_s_min": round(min(bursts), 1) if bursts else None,
