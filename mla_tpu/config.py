@@ -274,6 +274,12 @@ def _audioset_full_dp() -> Config:
     """BASELINE.json:10 — full 527-class training, DP over ICI, mixed precision."""
     return Config(
         name="audioset_full_dp",
+        # frontend default precision matches what the TRAIN step already does
+        # in-step (frontend_precision="default" below): inferring at HIGHEST
+        # was a train/serve numerics mismatch, and the DFT GEMMs at HIGHEST
+        # are a 2-pass penalty on this chip. Fidelity + throughput measured
+        # on-chip round 5 before flipping (docs/RESULTS.md round-5 record).
+        frontend=FrontendConfig(precision="default"),
         model=ModelConfig(
             variant="multi_level_attention",
             trunk="cnn",
@@ -291,6 +297,10 @@ def _streaming() -> Config:
     """BASELINE.json:11 — streaming inference: raw waveform in -> clip scores."""
     return Config(
         name="streaming_inference",
+        # same rationale as audioset_full_dp: serving ticks run the front-end
+        # at the training step's default precision (HIGHEST stays pinned on
+        # the parity harness, which builds its own FrontendConfig()).
+        frontend=FrontendConfig(precision="default"),
         model=ModelConfig(
             variant="multi_level_attention",
             trunk="cnn",

@@ -38,7 +38,8 @@ def rng():
 # spawn processes, train for many steps, or drive HTTP end-to-end are slow.
 QUICK_MODULES = {
     "test_adpcm", "test_attention_pool", "test_audioset", "test_augment",
-    "test_convert", "test_data", "test_distributed", "test_doctor",
+    "test_config_presets", "test_convert", "test_data", "test_distributed",
+    "test_doctor",
     "test_driver_contract", "test_ema", "test_events", "test_frontend",
     "test_golden", "test_metrics", "test_pallas_frontend", "test_parallel",
     "test_pipeline", "test_plot", "test_schedules_remat", "test_streaming",
